@@ -1,38 +1,717 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship mine→encode→PIP→tile pipeline at
+sf0.001; ``queries()`` exposes every implemented operator from
+SURVEY.md §2 (plus the training-data ops); ``oracle_sql()`` holds the
+DuckDB twins. Column names are aliased identically on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from osmquadtreepostgis_spark import quadtree as qt
+from osmquadtreepostgis_spark.functions import text as TX
+from osmquadtreepostgis_spark.functions.cells import cell_encode_udf, cell_parent_col
+from osmquadtreepostgis_spark.functions.sketches import (
+    MINHASH_P,
+    minhash_params,
+    sql_md5_int64,
+    sql_word_shingles,
+)
+from osmquadtreepostgis_spark.operators import dedup as DD
+from osmquadtreepostgis_spark.operators import knn as KNN
+from osmquadtreepostgis_spark.operators import routing as RT
+from osmquadtreepostgis_spark.operators.mine import mine_gazetteer_terms
+from osmquadtreepostgis_spark.operators.pip import (
+    PolygonIndex,
+    pip_join_broadcast,
+    pip_join_shuffle,
+)
+from osmquadtreepostgis_spark.plans import elements as EL
+from osmquadtreepostgis_spark.plans.pipeline import (
+    CELL_DEPTH,
+    TILE_DEPTH,
+    doc_coords,
+    documents_pipeline,
+    load_table,
+    sql_doc_coords,
+)
+from osmquadtreepostgis_spark.sources import fixtures
+from osmquadtreepostgis_spark.sources.gazetteer import VOCAB_GAZETTEER, sql_values
+from osmquadtreepostgis_spark.deploy import ensure_workers_can_import
+from osmquadtreepostgis_spark.streaming.stream import (
+    run_stream_to_completion,
+    stream_events_windowed,
+)
+
+_LON, _LAT = sql_doc_coords("doc_id")
+_X18, _Y18 = qt.sql_tile_xy("lon", "lat", CELL_DEPTH)
+_PACK18 = qt.sql_pack_xy("x", "y", CELL_DEPTH)
+
+# shared oracle CTEs
+_DOCS_CTE = f"""docs AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         {_LON} AS lon, {_LAT} AS lat
+  FROM documents
+)"""
+_CELLS_CTE = f"""cells AS (
+  SELECT doc_id, lon, lat, n_chars, {_X18} AS x, {_Y18} AS y FROM docs
+)"""
+_ENC_CTE = f"""enc AS (
+  SELECT doc_id, lon, lat, n_chars, {_PACK18} AS cell,
+         {qt.sql_cell_parent(_PACK18, TILE_DEPTH)} AS tile
+  FROM cells
+)"""
+_BOXES = fixtures.sql_box_values("p")
+_PIP_ON = "d.lon >= p.xmin AND d.lon < p.xmax AND d.lat >= p.ymin AND d.lat < p.ymax"
+_GAZ = sql_values(VOCAB_GAZETTEER, "g")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    ensure_workers_can_import(spark)
+    return documents_pipeline(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# spark queries
+
+
+def _docs(spark, sf):
+    return load_table(spark, sf, "documents")
+
+
+def _utc(spark):
+    """Epoch math on NTZ timestamps is session-TZ-dependent; pin UTC so
+    Spark and the DuckDB oracle agree regardless of driver config."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def q_cell_encode(spark, sf):
+    d = doc_coords(_docs(spark, sf).select("doc_id"))
+    return d.withColumn("cell", cell_encode_udf(CELL_DEPTH)("lon", "lat")).withColumn(
+        "tile", cell_parent_col("cell", TILE_DEPTH)
+    )
+
+
+def q_tile_agg(spark, sf):
+    d = doc_coords(_docs(spark, sf).select("doc_id", "n_chars"))
+    enc = d.withColumn("cell", cell_encode_udf(CELL_DEPTH)("lon", "lat")).withColumn(
+        "tile", cell_parent_col("cell", TILE_DEPTH)
+    )
+    return enc.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct("cell").alias("n_cells"),
+    )
+
+
+def q_pip_points_in_boxes(spark, sf):
+    d = doc_coords(_docs(spark, sf).select("doc_id"))
+    idx = PolygonIndex.from_polygons_df(fixtures.polygons_df(spark), depth=6)
+    return pip_join_broadcast(d, idx).select("doc_id", "poly_id")
+
+
+def q_pip_shuffle_cover(spark, sf):
+    d = doc_coords(_docs(spark, sf).select("doc_id"))
+    polys = fixtures.polygons_df(spark)
+    return pip_join_shuffle(d, polys, depth=6).select("doc_id", "poly_id")
+
+
+def q_mine_entities(spark, sf):
+    return mine_gazetteer_terms(_docs(spark, sf))
+
+
+def q_flagship_tiles(spark, sf):
+    return documents_pipeline(spark, sf)
+
+
+def q_knn_exact(spark, sf):
+    d = doc_coords(_docs(spark, sf).select("doc_id")).select(
+        F.col("doc_id").alias("p_id"), "lon", "lat"
+    )
+    q = doc_coords(
+        _docs(spark, sf).select("doc_id").filter(F.col("doc_id") % 50 == 0)
+    ).select(F.col("doc_id").alias("q_id"), F.col("lon").alias("q_lon"), F.col("lat").alias("q_lat"))
+    return KNN.knn_exact(q, d, k=5, q_id="q_id", p_id="p_id").select(
+        "q_id", "p_id", "rank"
+    )
+
+
+def q_routing_extended(spark, sf):
+    el = EL.elements_df(_docs(spark, sf))
+    z = RT.z_order_col(F.col("tags"))
+    routed = RT.explode_routes(
+        el.withColumn("z_order", z).withColumn(
+            "osm_id", RT.signed_osm_id(F.col("osm_id"), F.col("geom_type"))
+        ),
+        RT.route_extended(F.col("geom_type"), F.col("tags"), F.col("z_order")),
+    )
+    return routed.select("osm_id", "table")
+
+
+def q_tag_pivot_residual(spark, sf):
+    el = EL.elements_df(_docs(spark, sf))
+    piv = RT.pivot_tags(el, ["highway", "building"])
+    return piv.withColumn(
+        "n_other", F.size(RT.other_tags(F.col("tags"), ["highway", "building"]))
+    ).select("osm_id", "highway", "building", F.col("n_other").cast("long").alias("n_other"))
+
+
+def q_zorder_minzoom(spark, sf):
+    el = EL.elements_df(_docs(spark, sf))
+    return el.select(
+        "osm_id",
+        RT.z_order_col(F.col("tags")).alias("z_order"),
+        RT.minzoom_col(F.col("tags"), F.col("geom_type"), F.col("way_area")).alias(
+            "minzoom"
+        ),
+    )
+
+
+def q_pyramid_counts(spark, sf):
+    d = doc_coords(_docs(spark, sf).select("doc_id"))
+    enc = d.withColumn("cell", cell_encode_udf(CELL_DEPTH)("lon", "lat"))
+    out = None
+    for depth in (6, 9, 11):
+        lvl = (
+            enc.withColumn("tile", cell_parent_col("cell", depth))
+            .groupBy("tile")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("zoom", F.lit(depth).cast("long"))
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+    return out.select("zoom", "tile", "n")
+
+
+def q_union_roads(spark, sf):
+    el = EL.elements_df(_docs(spark, sf)).withColumn(
+        "z_order", RT.z_order_col(F.col("tags"))
+    )
+    el = el.withColumn(
+        "osm_id", RT.signed_osm_id(F.col("osm_id"), F.col("geom_type"))
+    )
+    hw = (
+        el.filter((F.col("geom_type") == "linestring") & F.col("z_order").isNotNull())
+        .select("osm_id", F.lit("highway").alias("src"), "z_order")
+    )
+    bd = (
+        el.filter(
+            (F.col("osm_id") < 0)
+            & (F.element_at(F.col("tags"), "boundary") == "administrative")
+        )
+        .select("osm_id", F.lit("boundary").alias("src"), F.lit(0).cast("long").alias("z_order"))
+    )
+    return hw.unionByName(bd)
+
+
+def _dec_sum(col, alias):
+    return F.round(F.sum(col.cast("decimal(18,4)")).cast("double"), 4).alias(alias)
+
+
+def q_pricing_summary(spark, sf):
+    _utc(spark)
+    li = load_table(spark, sf, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # epoch-seconds comparison: TZ-independent in both engines
+    return (
+        li.filter(F.unix_timestamp("l_shipdate") <= 904694400)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _dec_sum(disc, "sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf):
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(_dec_sum(rev, "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q_top_orders_window(spark, sf):
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank")
+    )
+
+
+def q_semi_anti_join(spark, sf):
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").select("o_custkey")
+    w = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_with"))
+    )
+    wo = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_without"))
+    )
+    return w.join(wo, "c_mktsegment", "full_outer").select(
+        "c_mktsegment",
+        F.coalesce("n_with", F.lit(0)).alias("n_with"),
+        F.coalesce("n_without", F.lit(0)).alias("n_without"),
+    )
+
+
+def q_events_sessionize(spark, sf):
+    _utc(spark)
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_s").cast("long").alias("n_sessions"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_events_window_agg(spark, sf):
+    _utc(spark)
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _dec_sum(F.col("value"), "sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_stream_events_window(spark, sf):
+    _utc(spark)
+    return run_stream_to_completion(
+        stream_events_windowed(spark, sf), name="q_stream_events_window"
+    )
+
+
+def q_dedup_exact(spark, sf):
+    return DD.dedup_exact(_docs(spark, sf))
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    return DD.ngram_jaccard_pairs(_docs(spark, sf), threshold=0.5, n=3)
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    return DD.minhash_lsh_pairs(_docs(spark, sf), n_hashes=16, bands=4, n=3)
+
+
+def q_dedup_simhash(spark, sf):
+    return DD.simhash_pairs(_docs(spark, sf), max_hamming=3, n=2)
+
+
+def q_embed_cosine_pairs(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return KNN.ann_cosine_pairs(emb, threshold=0.8)
+
+
+def q_embed_topk(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    return KNN.ann_cosine_topk(emb, q, k=10).select("q_id", "vec_id", "rank")
+
+
+def q_text_analysis(spark, sf):
+    d = _docs(spark, sf)
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.lang_id("text").alias("lang_pred"),
+        TX.quality_score("text").alias("quality"),
+        TX.fingerprint("text").alias("fp"),
+    )
+
+
+def q_multimodal_meta(spark, sf):
+    """Multimodal plumbing: treat utf-8 bytes of text as an opaque
+    binary payload; metadata + deterministic fake 'decode' (real
+    decode stubbed — no image libs in env; the Spark-side schema /
+    batching is the tested part)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    d = _docs(spark, sf).select("doc_id", "text", "n_chars")
+
+    def decode(batches):
+        for pdf in batches:
+            blob = pdf["text"].str.encode("utf-8")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": blob.str.len().astype("int64"),
+                    "n_frames": (pdf["n_chars"] // 100 + 1).astype("int64"),
+                    "decoded": False,
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("decoded", T.BooleanType()),
+        ]
+    )
+    return d.mapInPandas(decode, schema)
+
+
+def _shipped(fn):
+    """Make sure workers can import the package before running (the
+    addPyFile analog of spark-submit --py-files)."""
+
+    def wrapped(spark, sf):
+        ensure_workers_can_import(spark)
+        return fn(spark, sf)
+
+    wrapped.__name__ = fn.__name__
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cell_encode": _shipped(q_cell_encode),
+        "tile_agg": _shipped(q_tile_agg),
+        "pip_points_in_boxes": _shipped(q_pip_points_in_boxes),
+        "pip_shuffle_cover": _shipped(q_pip_shuffle_cover),
+        "mine_entities": _shipped(q_mine_entities),
+        "flagship_tiles": _shipped(q_flagship_tiles),
+        "knn_exact": _shipped(q_knn_exact),
+        "routing_extended": _shipped(q_routing_extended),
+        "tag_pivot_residual": _shipped(q_tag_pivot_residual),
+        "zorder_minzoom": _shipped(q_zorder_minzoom),
+        "pyramid_counts": _shipped(q_pyramid_counts),
+        "union_roads": _shipped(q_union_roads),
+        "pricing_summary": _shipped(q_pricing_summary),
+        "revenue_by_nation": _shipped(q_revenue_by_nation),
+        "top_orders_window": _shipped(q_top_orders_window),
+        "semi_anti_join": _shipped(q_semi_anti_join),
+        "events_sessionize": _shipped(q_events_sessionize),
+        "events_window_agg": _shipped(q_events_window_agg),
+        "stream_events_window": _shipped(q_stream_events_window),
+        "dedup_exact": _shipped(q_dedup_exact),
+        "dedup_ngram_jaccard": _shipped(q_dedup_ngram_jaccard),
+        "dedup_minhash_lsh": _shipped(q_dedup_minhash_lsh),
+        "dedup_simhash": _shipped(q_dedup_simhash),
+        "embed_cosine_pairs": _shipped(q_embed_cosine_pairs),
+        "embed_topk": _shipped(q_embed_topk),
+        "text_analysis": _shipped(q_text_analysis),
+        "multimodal_meta": _shipped(q_multimodal_meta),
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect)
+
+
+def _mine_cte() -> str:
+    return f"""mention AS (
+  SELECT d.doc_id, g.entity, g.glon AS lon, g.glat AS lat,
+         cast(len(list_filter(string_split(d.text, ' '), t -> t = g.entity))
+              as bigint) AS n_occurrences
+  FROM documents d CROSS JOIN {_GAZ}
+)"""
+
+
+def _sig_sql() -> str:
+    """Per-doc MinHash signature columns mh0..mh15 over 3-gram shingles."""
+    sh = sql_word_shingles("text", 3)
+    hashed = f"list_transform({sh}, s -> {sql_md5_int64('s')})"
+    cols = []
+    for i, (a, b) in enumerate(minhash_params(16)):
+        cols.append(
+            f"coalesce(list_min(list_transform({hashed}, "
+            f"h -> (h * {a} + {b}) % {MINHASH_P})), {MINHASH_P}) AS mh{i}"
+        )
+    return "SELECT doc_id, " + ", ".join(cols) + " FROM documents"
+
+
+def _simhash_sql() -> str:
+    """Per-doc 60-bit SimHash over 2-gram shingles."""
+    sh = sql_word_shingles("text", 2)
+    hashed = f"list_transform({sh}, s -> {sql_md5_int64('s')})"
+    terms = []
+    for i in range(60):
+        vote = (
+            f"list_sum(list_transform(h, x -> case when (x >> {i}) & 1 = 1 "
+            f"then 1 else -1 end))"
+        )
+        terms.append(
+            f"(case when coalesce({vote}, 0) > 0 "
+            f"then (cast(1 as bigint) << {i}) else 0 end)"
+        )
+    return (
+        f"SELECT doc_id, ({' | '.join(terms)}) AS sh "
+        f"FROM (SELECT doc_id, {hashed} AS h FROM documents)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    zo = RT.sql_z_order("highway")
+    mz = RT.sql_minzoom("highway", "building", "boundary", "admin_level", "way_area")
+    route = RT.sql_route_extended("geom_type", "building", "type_tag", zo)
+    signed = (
+        "CASE WHEN geom_type = 'complicated_polygon' THEN -osm_id ELSE osm_id END"
+    )
+    el = EL.sql_elements_cte()
+    cos = (
+        "list_sum(list_transform(range(1, 65), i -> "
+        "cast(a.embedding[i] as double) * cast(b.embedding[i] as double))) / "
+        "sqrt(list_sum(list_transform(range(1, 65), i -> "
+        "cast(a.embedding[i] as double) * cast(a.embedding[i] as double)))) / "
+        "sqrt(list_sum(list_transform(range(1, 65), i -> "
+        "cast(b.embedding[i] as double) * cast(b.embedding[i] as double))))"
+    )
+    pyramid_arms = []
+    for depth in (6, 9, 11):
+        pack = qt.sql_pack_xy("x", "y", CELL_DEPTH)
+        pyramid_arms.append(
+            f"SELECT cast({depth} as bigint) AS zoom, "
+            f"{qt.sql_cell_parent(pack, depth)} AS tile, "
+            f"count(*) AS n FROM cells GROUP BY 2"
+        )
+    sql = {
+        "cell_encode": f"""
+            WITH {_DOCS_CTE}, {_CELLS_CTE}
+            SELECT doc_id, lon, lat, {_PACK18} AS cell,
+                   {qt.sql_cell_parent(_PACK18, TILE_DEPTH)} AS tile
+            FROM cells""",
+        "tile_agg": f"""
+            WITH {_DOCS_CTE}, {_CELLS_CTE}, {_ENC_CTE}
+            SELECT tile, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+                   count(distinct cell) AS n_cells
+            FROM enc GROUP BY tile""",
+        "pip_points_in_boxes": f"""
+            WITH {_DOCS_CTE}
+            SELECT d.doc_id, p.poly_id FROM docs d JOIN {_BOXES} ON {_PIP_ON}""",
+        "pip_shuffle_cover": f"""
+            WITH {_DOCS_CTE}
+            SELECT d.doc_id, p.poly_id FROM docs d JOIN {_BOXES} ON {_PIP_ON}""",
+        "mine_entities": f"""
+            WITH {_mine_cte()}
+            SELECT doc_id, entity, lon, lat, n_occurrences
+            FROM mention WHERE n_occurrences > 0""",
+        "flagship_tiles": f"""
+            WITH {_mine_cte()},
+            m AS (SELECT * FROM mention WHERE n_occurrences > 0),
+            cells AS (SELECT doc_id, entity, lon, lat, n_occurrences,
+                             {_X18} AS x, {_Y18} AS y FROM m),
+            enc AS (SELECT doc_id, entity, lon, lat, n_occurrences,
+                           {qt.sql_cell_parent(_PACK18, TILE_DEPTH)} AS tile
+                    FROM cells),
+            hits AS (SELECT d.*, p.poly_id FROM enc d JOIN {_BOXES} ON {_PIP_ON})
+            SELECT tile, poly_id, sum(n_occurrences) AS n_mentions,
+                   count(distinct doc_id) AS n_docs,
+                   count(distinct entity) AS n_entities
+            FROM hits GROUP BY tile, poly_id""",
+        "knn_exact": f"""
+            WITH {_DOCS_CTE},
+            q AS (SELECT doc_id AS q_id, lon AS q_lon, lat AS q_lat
+                  FROM docs WHERE doc_id % 50 = 0),
+            scored AS (
+              SELECT q.q_id, d.doc_id AS p_id,
+                     (q.q_lon - d.lon) * (q.q_lon - d.lon)
+                     + (q.q_lat - d.lat) * (q.q_lat - d.lat) AS dist2
+              FROM q CROSS JOIN docs d),
+            ranked AS (
+              SELECT q_id, p_id,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY dist2 ASC, p_id ASC) AS rank
+              FROM scored)
+            SELECT q_id, p_id, cast(rank as bigint) AS rank
+            FROM ranked WHERE rank <= 5""",
+        "routing_extended": f"""
+            WITH el AS ({el})
+            SELECT {signed} AS osm_id, unnest({route}) AS "table" FROM el""",
+        "tag_pivot_residual": f"""
+            WITH el AS ({el})
+            SELECT osm_id, highway, building,
+                   cast((CASE WHEN type_tag IS NOT NULL THEN 1 ELSE 0 END)
+                   + (CASE WHEN boundary IS NOT NULL THEN 1 ELSE 0 END)
+                   + (CASE WHEN admin_level IS NOT NULL THEN 1 ELSE 0 END)
+                   + 1 as bigint) AS n_other
+            FROM el""",
+        "zorder_minzoom": f"""
+            WITH el AS ({el})
+            SELECT osm_id, {zo} AS z_order, {mz} AS minzoom FROM el""",
+        "pyramid_counts": f"""
+            WITH {_DOCS_CTE}, {_CELLS_CTE}
+            {' UNION ALL '.join(pyramid_arms)}""",
+        "union_roads": f"""
+            WITH el AS ({el}),
+            signed AS (SELECT {signed} AS osm_id, geom_type, highway, boundary,
+                              {zo} AS z_order FROM el)
+            SELECT osm_id, 'highway' AS src, z_order FROM signed
+            WHERE geom_type = 'linestring' AND z_order IS NOT NULL
+            UNION ALL
+            SELECT osm_id, 'boundary' AS src, cast(0 as bigint) AS z_order
+            FROM signed WHERE osm_id < 0 AND boundary = 'administrative'""",
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(cast(sum(cast(l_quantity as decimal(18,4))) as double), 4)
+                     AS sum_qty,
+                   round(cast(sum(cast(l_extendedprice as decimal(18,4))) as double), 4)
+                     AS sum_base_price,
+                   round(cast(sum(cast(l_extendedprice * (1 - l_discount)
+                     as decimal(18,4))) as double), 4) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE cast(epoch(l_shipdate) as bigint) <= 904694400
+            GROUP BY l_returnflag, l_linestatus""",
+        "revenue_by_nation": """
+            SELECT n_name, r_name,
+                   round(cast(sum(cast(l_extendedprice * (1 - l_discount)
+                     as decimal(18,4))) as double), 4) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY n_name, r_name""",
+        "top_orders_window": """
+            SELECT o_custkey, o_orderkey, cast(rank as bigint) AS rank FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+              FROM orders) WHERE rank <= 3""",
+        "semi_anti_join": """
+            WITH w AS (SELECT c_mktsegment, count(*) AS n_with FROM customer
+                       WHERE c_custkey IN (SELECT o_custkey FROM orders)
+                       GROUP BY c_mktsegment),
+            wo AS (SELECT c_mktsegment, count(*) AS n_without FROM customer
+                   WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+                   GROUP BY c_mktsegment)
+            SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+                   coalesce(n_with, 0) AS n_with,
+                   coalesce(n_without, 0) AS n_without
+            FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment""",
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id,
+                     cast(epoch(ts) as bigint)
+                     - lag(cast(epoch(ts) as bigint))
+                       OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                       AS gap
+              FROM events)
+            SELECT user_id,
+                   sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                     AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id""",
+        "events_window_agg": """
+            SELECT cast(epoch(date_trunc('hour', ts)) as bigint) AS win_start,
+                   event_type, count(*) AS n,
+                   round(cast(sum(cast(value as decimal(18,4))) as double), 4)
+                     AS sum_value
+            FROM events GROUP BY 1, 2""",
+        "stream_events_window": """
+            SELECT cast(epoch(date_trunc('hour', ts)) as bigint) AS win_start,
+                   event_type, count(*) AS n,
+                   round(cast(sum(cast(value as decimal(18,4))) as double), 4)
+                     AS sum_value
+            FROM events GROUP BY 1, 2""",
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) - 1 AS n_dupes
+            FROM documents GROUP BY text""",
+        "dedup_ngram_jaccard": f"""
+            WITH sh AS (SELECT doc_id AS id, {sql_word_shingles('text', 3)} AS s
+                        FROM documents),
+            sized AS (SELECT id, s, len(s) AS sz FROM sh),
+            ex AS (SELECT id, sz, unnest(s) AS tok FROM sized),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, a.sz AS sa, b.sz AS sb,
+                     count(*) AS i
+              FROM ex a JOIN ex b ON a.tok = b.tok AND a.id < b.id
+              GROUP BY 1, 2, 3, 4)
+            SELECT id_a, id_b,
+                   round(cast(i as double) / (sa + sb - i), 4) AS jaccard
+            FROM inter WHERE cast(i as double) / (sa + sb - i) >= 0.5""",
+        "dedup_minhash_lsh": f"""
+            WITH sig AS ({_sig_sql()}),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     {' + '.join(f'(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)' for i in range(16))}
+                       AS agree
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              WHERE {' OR '.join('(' + ' AND '.join(f'a.mh{b_ * 4 + r} = b.mh{b_ * 4 + r}' for r in range(4)) + ')' for b_ in range(4))})
+            SELECT id_a, id_b, round(cast(agree as double) / 16.0, 4)
+              AS est_jaccard
+            FROM cand""",
+        "dedup_simhash": f"""
+            WITH sh AS ({_simhash_sql()}),
+            cand AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     bit_count(xor(a.sh, b.sh)) AS hamming
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE {' OR '.join(f'((a.sh >> {s * 15}) & 32767) = ((b.sh >> {s * 15}) & 32767)' for s in range(4))})
+            SELECT id_a, id_b, cast(hamming as bigint) AS hamming
+            FROM cand WHERE hamming <= 3""",
+        "embed_cosine_pairs": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({cos}, 4) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {cos} >= 0.8""",
+        "embed_topk": f"""
+            WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+                       WHERE vec_id < 5),
+            scored AS (
+              SELECT q.q_id, b.vec_id, {cos.replace('a.embedding', 'q.embedding')} AS cs
+              FROM q CROSS JOIN embeddings b),
+            ranked AS (SELECT q_id, vec_id,
+                              row_number() OVER (PARTITION BY q_id
+                                ORDER BY cs DESC, vec_id ASC) AS rank
+                       FROM scored)
+            SELECT q_id, vec_id, cast(rank as bigint) AS rank
+            FROM ranked WHERE rank <= 10""",
+        "text_analysis": f"""
+            SELECT doc_id,
+                   {TX.sql_token_count('text')} AS n_tokens,
+                   {TX.sql_lang_id('text')} AS lang_pred,
+                   {TX.sql_quality_score('text')} AS quality,
+                   {TX.sql_fingerprint('text')} AS fp
+            FROM documents""",
+        "multimodal_meta": """
+            SELECT doc_id,
+                   cast(octet_length(encode(text)) as bigint) AS n_bytes,
+                   cast(n_chars // 100 + 1 as bigint) AS n_frames,
+                   false AS decoded
+            FROM documents""",
+    }
+    return sql

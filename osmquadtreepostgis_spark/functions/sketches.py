@@ -1,0 +1,113 @@
+"""Similarity sketches: shingles, MinHash, SimHash — portable hashing.
+
+Hash primitive: ``md5`` hex substrings cast to int64 — identical in
+Spark (`conv(substr(md5(x),1,15),16,10)`) and DuckDB
+(`cast('0x'||substr(md5(x),1,15) as bigint)`), so every sketch is
+oracle-checkable. MinHash permutations are the classic
+``(a*h + b) mod p`` family with fixed odd constants — integer math,
+also portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "md5_int64",
+    "word_shingles",
+    "minhash_signature",
+    "simhash64",
+    "sql_md5_int64",
+    "sql_word_shingles",
+    "MINHASH_P",
+    "minhash_params",
+]
+
+# Mersenne prime 2^61 - 1: (a*h + b) stays under 2^63 for h < 2^61
+# only if a is small; we keep h in [0, 2^60) (15 hex chars) and a < 8.
+MINHASH_P = (1 << 61) - 1
+
+
+def minhash_params(n: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs, a in [1, 7] odd-ish small so that
+    a*h + b < 2^63 for h < 2^60."""
+    return [(1 + (i % 7), (i * i * 2654435761 + i + 1) % MINHASH_P) for i in range(n)]
+
+
+def md5_int64(c: Column) -> Column:
+    """First 60 bits of md5 as non-negative int64 (portable)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def sql_md5_int64(expr: str) -> str:
+    return f"cast(concat('0x', substr(md5({expr}), 1, 15)) as bigint)"
+
+
+def word_shingles(text, n: int = 3) -> Column:
+    """Distinct n-gram word shingles (space-joined) of a text column."""
+    toks = F.split(F.col(text) if isinstance(text, str) else text, " ")
+    k = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def sql_word_shingles(text: str, n: int = 3) -> str:
+    """DuckDB twin of word_shingles (list of distinct n-gram strings)."""
+    toks = f"string_split({text}, ' ')"
+    parts = " || ' ' || ".join(f"({toks})[i + {j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - {n - 1}, 0) + 1), i -> {parts}))"
+    )
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
+    """array<long> MinHash signature over a shingle array column.
+
+    h_i(S) = min over s in S of (a_i * md5int(s) + b_i) mod P.
+    Empty shingle set -> P (sentinel max).
+    """
+    hashed = F.transform(
+        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    )
+    sigs = []
+    for a, b in minhash_params(n_hashes):
+        vals = F.transform(hashed, lambda h: (h * a + b) % MINHASH_P)
+        sigs.append(
+            F.coalesce(F.array_min(vals), F.lit(MINHASH_P)).alias(f"mh{len(sigs)}")
+        )
+    return F.array(*sigs)
+
+
+def simhash64(shingles: Column) -> Column:
+    """64-bit-ish SimHash (60 usable bits from the portable md5 hash):
+    for each bit position, +1 if set else -1 over all shingles; bit in
+    the output iff the sum is positive. JVM-only (aggregate over
+    sequence), portable to SQL."""
+    hashed = F.transform(
+        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    )
+    def _vote_merge(i: int):
+        def merge(acc, h):
+            return acc + F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return merge
+
+    out = F.lit(0).cast("long")
+    for i in range(60):  # python ints -> static shift amounts (codegen'd)
+        vote = F.aggregate(hashed, F.lit(0), _vote_merge(i))
+        out = out.bitwiseOR(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out

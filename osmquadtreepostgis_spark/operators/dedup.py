@@ -1,0 +1,210 @@
+"""Deduplication operators for the training-data pipeline.
+
+Five strategies, exact -> sketch -> embedding (SURVEY-mandated
+training-data ops; each has a ``queries()`` entry with a DuckDB
+oracle):
+
+* ``dedup_exact``       — hash-groupBy on content fingerprint.
+* ``ngram_jaccard_pairs`` — exact Jaccard over word shingles via an
+  inverted-index self-join (explode shingle -> equi-join -> count
+  intersection). The exact baseline MinHash approximates.
+* ``minhash_lsh_pairs`` — MinHash signatures banded into LSH buckets;
+  candidate pairs share a band bucket; verified against true Jaccard.
+* ``simhash_pairs``     — 60-bit SimHash, pairs within Hamming radius
+  (bucketed by the top bits to avoid the full cross join).
+* embedding cosine near-dup — :func:`..operators.knn.ann_cosine_pairs`.
+
+Every shuffle is on a content-derived key (fingerprint / shingle /
+band bucket), the distributed-dedup idiom that survives 100 TB: no
+driver-side state, no cross join except within tiny buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.sketches import (
+    minhash_signature,
+    simhash64,
+    word_shingles,
+)
+from ..functions.text import fingerprint
+
+__all__ = [
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+]
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: keep the smallest id per identical text
+    (fingerprint pre-bucket -> shuffle on 60-bit key, not full text).
+    Output: (doc_id, n_dupes) for the kept representative."""
+    fp = df.select(
+        F.col(id_col), fingerprint(text_col).alias("__fp"), F.col(text_col)
+    )
+    return (
+        fp.groupBy("__fp", text_col)
+        .agg(
+            F.min(id_col).alias(id_col),
+            (F.count(F.lit(1)) - 1).alias("n_dupes"),
+        )
+        .select(id_col, "n_dupes")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold via inverted-index self-join.
+
+    |A ∩ B| from the shingle equi-join, |A|,|B| precomputed;
+    J = inter / (|A| + |B| - inter). Returns (id_a, id_b, jaccard)
+    with id_a < id_b, jaccard rounded 4dp.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("__sh")
+    ).withColumn("__size", F.size("__sh"))
+    ex = sh.select("id", "__size", F.explode("__sh").alias("__s"))
+    a = ex.select(
+        F.col("id").alias("id_a"), F.col("__size").alias("__sa"), "__s"
+    )
+    b = ex.select(
+        F.col("id").alias("id_b"), F.col("__size").alias("__sb"), "__s"
+    )
+    inter = (
+        a.join(b, "__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "__sa", "__sb")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    j = F.col("__inter") / (F.col("__sa") + F.col("__sb") - F.col("__inter"))
+    return (
+        inter.withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + LSH banding: signature split into ``bands`` bands of
+    ``n_hashes/bands`` rows; docs sharing any full band are candidate
+    pairs. Output: (id_a, id_b, est_jaccard) where est_jaccard is the
+    signature agreement fraction (rounded 4dp).
+
+    Scale shape: shuffle on (band_idx, band_hash-bucket); candidate
+    generation never compares all pairs.
+    """
+    rows_per_band = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(word_shingles(text_col, n), n_hashes).alias("__sig"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(F.col("__sig"), bi * rows_per_band + ri + 1).cast(
+                            "string"
+                        )
+                        for ri in range(rows_per_band)
+                    ],
+                ).alias("bucket"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = sig.select("id", "__sig", F.explode(band_structs).alias("b")).select(
+        "id", "__sig", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+    )
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("__sig").alias("__siga"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("__sig").alias("__sigb"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__siga", "__sigb")
+        .dropDuplicates(["id_a", "id_b"])  # may share several bands
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("__siga"), F.col("__sigb"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.round(agree.cast("double") / float(n_hashes), 4).alias("est_jaccard"),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 8,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs within ``max_hamming`` bits.
+
+    Bucketing: the 60-bit hash split into 4 x 15-bit segments; by
+    pigeonhole any pair within Hamming distance <= max_hamming (< 4
+    segment-flips... exactness only when max_hamming <= 3 per the
+    4-segment pigeonhole; for larger radii this is the standard
+    recall-bounded approximation) shares at least one exact segment.
+    Join per segment, dedupe, verify exact Hamming distance.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash64(word_shingles(text_col, n)).alias("__h")
+    )
+    segs = F.array(
+        *[
+            F.struct(
+                F.lit(si).alias("seg"),
+                F.shiftright(F.col("__h"), si * 15)
+                .bitwiseAND(F.lit((1 << 15) - 1))
+                .alias("key"),
+            )
+            for si in range(4)
+        ]
+    )
+    ex = sh.select("id", "__h", F.explode(segs).alias("s")).select(
+        "id", "__h", F.col("s.seg").alias("seg"), F.col("s.key").alias("key")
+    )
+    a = ex.select(F.col("id").alias("id_a"), F.col("__h").alias("__ha"), "seg", "key")
+    b = ex.select(F.col("id").alias("id_b"), F.col("__h").alias("__hb"), "seg", "key")
+    cand = (
+        a.join(b, ["seg", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ha", "__hb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

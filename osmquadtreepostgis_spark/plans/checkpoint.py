@@ -1,0 +1,91 @@
+"""Checkpoint / resume with per-partition lineage + row-count metrics.
+
+The reference runs its entire 6-hour load inside ONE PostgreSQL
+transaction (/root/reference/src/postgiswriter.cpp:1256, 1208-1214) —
+no resumability. BASELINE.json mandates the opposite at 100 TB:
+idempotent per-bucket writes plus a lineage table so a killed job
+resumes mid-run.
+
+Design (Iceberg-snapshot analog on plain parquet):
+* work is bucketed by a deterministic key (``pmod(tile, n_buckets)``
+  — stable across runs and cluster sizes);
+* each bucket's output goes to ``data/__bucket=K/`` via dynamic
+  partition overwrite (re-running a bucket replaces, never dupes);
+* after a successful write the bucket's lineage row
+  (bucket, rows, batch_id) is appended to ``_lineage/``;
+* resume = anti-join pending buckets against completed lineage.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["CheckpointedWriter"]
+
+
+class CheckpointedWriter:
+    def __init__(self, out_dir: str, n_buckets: int = 64, bucket_key: str = "tile"):
+        self.out_dir = out_dir.rstrip("/")
+        self.n_buckets = n_buckets
+        self.bucket_key = bucket_key
+        self.data_dir = f"{self.out_dir}/data"
+        self.lineage_dir = f"{self.out_dir}/_lineage"
+
+    def _bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "__bucket", F.pmod(F.col(self.bucket_key), F.lit(self.n_buckets))
+        )
+
+    def completed_buckets(self, spark: SparkSession) -> list[int]:
+        try:
+            lin = spark.read.parquet(self.lineage_dir)
+        except Exception:
+            return []
+        return [r["bucket"] for r in lin.select("bucket").distinct().collect()]
+
+    def lineage(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.lineage_dir)
+
+    def write(self, df: DataFrame, resume: bool = True) -> dict:
+        """Write df bucketed + lineage; skips completed buckets when
+        resuming. Returns {written_buckets, skipped_buckets, rows}."""
+        spark = df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        b = self._bucket(df)
+        done = set(self.completed_buckets(spark)) if resume else set()
+        if done:
+            b = b.filter(~F.col("__bucket").isin(sorted(done)))
+        # per-bucket row counts (the lineage metrics) — one extra agg
+        # over the (cached) pending work
+        b = b.cache()
+        counts = (
+            b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("rows")).collect()
+        )
+        if not counts:
+            b.unpersist()
+            return {"written_buckets": 0, "skipped_buckets": len(done), "rows": 0}
+        (
+            b.repartition("__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(self.data_dir)
+        )
+        batch_id = int(time.time() * 1000)
+        lineage_rows = [
+            (int(r["__bucket"]), int(r["rows"]), batch_id) for r in counts
+        ]
+        spark.createDataFrame(
+            lineage_rows, "bucket long, rows long, batch_id long"
+        ).coalesce(1).write.mode("append").parquet(self.lineage_dir)
+        b.unpersist()
+        return {
+            "written_buckets": len(counts),
+            "skipped_buckets": len(done),
+            "rows": int(sum(r["rows"] for r in counts)),
+        }
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.data_dir).drop("__bucket")

@@ -1,0 +1,114 @@
+"""The flagship end-to-end pipeline: mine → encode → PIP → tile-assign.
+
+This is the engine's ``write_to_postgis`` analog (reference lifecycle
+at /root/reference/osmquadtreepostgis/__init__.py:465-516, SURVEY.md
+§3.1), re-shaped for web pages: geo-entities mined from text play the
+role of OSM elements; cell encode replaces the oqt quadtree
+assignment; the broadcast PIP join replaces query-time gist lookups;
+the tile groupBy is the block/tile organization.
+
+Scale notes (the 100 TB plan):
+* mining + encoding are narrow (no shuffle);
+* the PIP join is broadcast (zero shuffle on the page side);
+* the single shuffle is the final groupBy on ``tile`` — a
+  range-friendly int64 spatial key, AQE-coalesced;
+* ``doc_coords`` synthesis is pure int64 Column math (exactly
+  mirrored in oracle SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.cells import cell_encode_udf, cell_parent_col
+from ..operators.mine import mine_coordinate_mentions, mine_gazetteer_terms
+from ..operators.pip import PolygonIndex, pip_join_broadcast
+from ..sources import fixtures
+
+CELL_DEPTH = 18
+TILE_DEPTH = 8
+
+__all__ = [
+    "doc_coords",
+    "sql_doc_coords",
+    "load_table",
+    "documents_pipeline",
+    "pages_pipeline",
+    "CELL_DEPTH",
+    "TILE_DEPTH",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def doc_coords(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic coordinates from the id — integer math
+    only, identical in Spark and the DuckDB oracle (FIXTURES.md §6)."""
+    h1 = (F.col(id_col) * F.lit(1103515245) + F.lit(12345)) % F.lit(2147483648)
+    h2 = (h1 * F.lit(69069) + F.lit(1)) % F.lit(2147483648)
+    return df.withColumn("lon", (h1 % 360000000) / 1e6 - 180.0).withColumn(
+        "lat", (h2 % 170000000) / 1e6 - 85.0
+    )
+
+
+def sql_doc_coords(id_col: str = "doc_id") -> tuple[str, str]:
+    """The oracle-SQL twin of doc_coords -> (lon_expr, lat_expr)."""
+    h1 = f"(({id_col} * 1103515245 + 12345) % 2147483648)"
+    h2 = f"(({h1} * 69069 + 1) % 2147483648)"
+    return (
+        f"(({h1} % 360000000) / 1e6 - 180.0)",
+        f"(({h2} % 170000000) / 1e6 - 85.0)",
+    )
+
+
+def documents_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship over the driver's documents table: mine gazetteer
+    entities from text → cell encode (pandas UDF, depth 18) → tile
+    (JVM bit math, depth 8) → broadcast PIP join against the polygon
+    layer → per-tile aggregate.
+
+    Output: (tile, poly_id, n_mentions, n_docs, n_entities) sorted.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    mentions = mine_gazetteer_terms(docs)  # doc_id, entity, lon, lat, n_occurrences
+    encoded = mentions.withColumn(
+        "cell", cell_encode_udf(CELL_DEPTH)("lon", "lat")
+    ).withColumn("tile", cell_parent_col("cell", TILE_DEPTH))
+    index = PolygonIndex.from_polygons_df(fixtures.polygons_df(spark), depth=6)
+    hits = pip_join_broadcast(encoded, index)
+    return (
+        hits.groupBy("tile", "poly_id")
+        .agg(
+            F.sum("n_occurrences").alias("n_mentions"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("entity").alias("n_entities"),
+        )
+        .orderBy("tile", "poly_id")
+    )
+
+
+def pages_pipeline(
+    pages: DataFrame, index: PolygonIndex | None = None
+) -> DataFrame:
+    """The same flagship over a Common-Crawl-style pages table
+    (url, warc_ts, html, text, lang) — the bench workload.
+
+    Regex-mines explicit coordinate mentions, encodes, PIP-joins,
+    tile-aggregates. The per-row invariant: ``text`` is only read.
+    """
+    spark = pages.sparkSession
+    if index is None:
+        index = PolygonIndex.from_polygons_df(fixtures.polygons_df(spark), depth=6)
+    mentions = mine_coordinate_mentions(pages)
+    encoded = mentions.withColumn(
+        "cell", cell_encode_udf(CELL_DEPTH)("lon", "lat")
+    ).withColumn("tile", cell_parent_col("cell", TILE_DEPTH))
+    hits = pip_join_broadcast(encoded, index)
+    return hits.groupBy("tile", "poly_id").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("url").alias("n_pages"),
+        F.countDistinct("entity").alias("n_entities"),
+    )

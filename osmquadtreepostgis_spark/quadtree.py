@@ -55,6 +55,7 @@ __all__ = [
     "bbox_to_cell",
     "cell_depth",
     "cell_parent",
+    "cell_tile",
     "cell_children",
     "cell_to_tile_xy",
     "cell_to_bbox",
@@ -193,6 +194,19 @@ def cell_parent(key, depth: int) -> np.ndarray:
     keep = np.uint64(2 * MAX_DEPTH - 2 * depth)
     parent = (aligned >> keep) << keep
     return ((parent << np.uint64(DEPTH_BITS)) | np.uint64(depth)).astype(np.int64)
+
+
+def cell_tile(key, tile_depth: int) -> np.ndarray:
+    """Ancestor at ``min(tile_depth, cell_depth)`` — the reference's
+    tile/BlockQuadtree: a block key can never be deeper than the
+    object key it contains."""
+    k = np.asarray(key, dtype=np.int64).reshape(-1)
+    d = np.minimum(cell_depth(k), tile_depth)
+    out = np.empty_like(k)
+    for dd in np.unique(d):
+        m = d == dd
+        out[m] = cell_parent(k[m], int(dd))
+    return out
 
 
 def cell_children(key) -> np.ndarray:

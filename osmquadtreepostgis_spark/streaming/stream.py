@@ -1,0 +1,73 @@
+"""Structured Streaming operators.
+
+The reference IS a bounded stream — blocks flow through callbacks
+with an end-of-stream flush (/root/reference/src/postgis_python.cpp:
+70-107, src/postgiswriter.cpp:1375-1382; SURVEY.md §2.10). Its
+micro-batching (``collect_blocks(numblocks)``) maps to Structured
+Streaming micro-batches; the EOS null-block flush maps to
+``processAllAvailable`` + final commit. The reference has no
+watermarks/event-time — those are net-new capability here.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["stream_events_windowed", "run_stream_to_completion"]
+
+
+def stream_events_windowed(
+    spark: SparkSession, sf_dir: str, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time windowed aggregation over the events table read as a
+    file stream: count + sum(value) per (window, event_type), with a
+    watermark for late data."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file-stream source needs a directory: stage a symlink dir
+    stage = Path(tempfile.gettempdir()) / f"oqps_stream_{abs(hash(sf_dir))}"
+    stage.mkdir(exist_ok=True)
+    link = stage / "events.parquet"
+    if not link.exists():
+        link.symlink_to(f"{sf_dir}/events.parquet")
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    # parquet timestamps are NTZ; watermarks need instant timestamps.
+    # The caller pins session TZ = UTC so the cast is wall-clock-stable.
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_completion(
+    streaming_df: DataFrame, name: str = "stream_out"
+) -> DataFrame:
+    """Drive a streaming query over bounded input to completion
+    (the EOS flush analog) and return the materialized result."""
+    spark = streaming_df.sparkSession
+    q = (
+        streaming_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
