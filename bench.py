@@ -1,0 +1,105 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric (BASELINE.json north rule): pages/sec end-to-end
+through mine -> cell encode -> PIP join -> tile aggregate over a
+synthesized Common-Crawl-style pages table sized to the scale factor.
+Per-operator timings for the sf-dir tables ride along in "queries".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from osmquadtreepostgis_spark.plans.pipeline import pages_pipeline
+    from osmquadtreepostgis_spark.session import get_spark
+    from osmquadtreepostgis_spark.sources.pages import stage_pages_parquet
+
+    spark = get_spark(
+        "bench",
+        cores=cpus,
+        shuffle_partitions=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # --- headline: pages/sec end-to-end ------------------------------------
+    # stage the input table first (the "Iceberg pages table" the north
+    # rule reads from); the timed section is mine+encode+PIP+tile only
+    n_pages = max(int(2_000_000 * sf), 10_000)
+    pages_path = f"/tmp/oqps_bench_pages_{n_pages}"
+    timed(
+        "pages_stage",
+        lambda: stage_pages_parquet(spark, n_pages, pages_path, partitions=cpus * 4),
+    )
+    pages_df = spark.read.parquet(pages_path)
+    n_tiles = timed("pages_pipeline", lambda: pages_pipeline(pages_df).count())
+    pages_per_sec = round(n_pages / timings["pages_pipeline"], 1)
+
+    # --- per-operator timings over the sf-dir tables -----------------------
+    qs = entrymod.queries()
+    for name in [
+        "flagship_tiles",
+        "cell_encode",
+        "tile_agg",
+        "pip_points_in_boxes",
+        "pip_shuffle_cover",
+        "knn_exact",
+        "pyramid_counts",
+        "routing_extended",
+        "pricing_summary",
+        "revenue_by_nation",
+        "top_orders_window",
+        "events_sessionize",
+        "events_window_agg",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "embed_cosine_pairs",
+        "embed_topk",
+        "text_analysis",
+        "multimodal_meta",
+    ]:
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench suite wall time (headline: pages/sec end-to-end"
+                " mine+encode+PIP+tile over synthetic pages)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "n_pages": n_pages,
+                "n_tiles": int(n_tiles),
+                "pages_per_sec": pages_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -48,7 +48,10 @@ def word_shingles(text, n: int = 3) -> Column:
     """Distinct n-gram word shingles (space-joined) of a text column."""
     toks = F.split(F.col(text) if isinstance(text, str) else text, " ")
     k = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(0)))
+    # guard: sequence(1, 0) DESCENDS in Spark; short texts get no shingles
+    idx = F.when(k >= n, F.sequence(F.lit(1), k - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(

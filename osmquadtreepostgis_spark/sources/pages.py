@@ -3,13 +3,15 @@
 Distributed synthesis: ``spark.range(n)`` → ``mapInPandas`` building
 each row from its index only (seedless, hash-derived) so any partition
 can regenerate its rows independently — the property that makes the
-10^12-row variant embarrassingly parallel (no driver-side data).
+10^12-row variant embarrassingly parallel (no driver-side data). All
+string assembly is vectorized pandas/numpy.
 
 The ``text`` column embeds 0-3 geo-entity mentions from
 CITY_GAZETTEER plus an explicit "at lat, lon" coordinate literal; the
 mining operator must recover exactly these (golden fixture
-``expected_mentions``). ``text`` is the per-row invariant: every
-pipeline stage must carry it byte-identically (BASELINE.json).
+``expected_mentions_pdf``, produced by the same vectorized kernel so
+fixture and data cannot drift). ``text`` is the per-row invariant:
+every pipeline stage must carry it byte-identically (BASELINE.json).
 """
 
 from __future__ import annotations
@@ -22,6 +24,9 @@ from pyspark.sql import types as T
 from .gazetteer import CITY_GAZETTEER
 
 _CITIES = sorted(CITY_GAZETTEER)
+_CITY_ARR = np.array(_CITIES)
+_CLON = np.array([CITY_GAZETTEER[c][0] for c in _CITIES])
+_CLAT = np.array([CITY_GAZETTEER[c][1] for c in _CITIES])
 
 PAGES_SCHEMA = T.StructType(
     [
@@ -33,7 +38,7 @@ PAGES_SCHEMA = T.StructType(
     ]
 )
 
-_LANGS = ["en", "de", "fr", "es"]
+_LANGS = np.array(["en", "de", "fr", "es"])
 _EPOCH = np.datetime64("2026-01-01T00:00:00")
 
 
@@ -42,24 +47,47 @@ def _mix(i: np.ndarray, salt: int) -> np.ndarray:
     return (i * 1103515245 + 12345 + salt * 2654435761) % 2147483648
 
 
+def _round5_str(x: np.ndarray) -> np.ndarray:
+    """repr of round(x, 5) — vectorized, matches python round/format."""
+    return np.array([repr(round(float(v), 5)) for v in x])
+
+
+def _mention_cols(idx: np.ndarray, j: int):
+    """Mention j (0-based) of each page: (exists, city, lon, lat)."""
+    nm = _mix(idx, 0) % 4
+    exists = nm > j
+    h = _mix(idx, j + 1)
+    ci = (h % len(_CITIES)).astype(np.int64)
+    jlon = np.round(_CLON[ci] + ((h >> 8) % 1000) / 1e5, 5)
+    jlat = np.round(
+        np.clip(_CLAT[ci] + ((h >> 4) % 1000) / 1e5, -85.0511, 85.0511), 5
+    )
+    return exists, _CITY_ARR[ci], jlon, jlat
+
+
 def synthesize_pdf(idx: np.ndarray) -> pd.DataFrame:
-    """Build pages rows for the given indices (pure numpy/pandas)."""
+    """Build pages rows for the given indices (vectorized)."""
     idx = np.asarray(idx, dtype=np.int64)
-    url = pd.Series(idx).map(lambda i: f"https://site{i % 997}.example/p/{i}")
-    nm = _mix(idx, 0) % 4  # 0-3 mentions per page
-    texts = []
-    for k, i in enumerate(idx):
-        parts = [f"Page {i} from crawl."]
-        for j in range(int(nm[k])):
-            h = int(_mix(np.array([i]), j + 1)[0])
-            city = _CITIES[h % len(_CITIES)]
-            lon, lat = CITY_GAZETTEER[city]
-            jlon = round(lon + ((h >> 8) % 1000) / 1e5, 5)
-            jlat = round(max(min(lat + ((h >> 4) % 1000) / 1e5, 85.0511), -85.0511), 5)
-            parts.append(f"Mention of {city} at {jlat}, {jlon} in passing.")
-        parts.append("End of page.")
-        texts.append(" ".join(parts))
-    text = pd.Series(texts)
+    url = (
+        "https://site"
+        + pd.Series(idx % 997).astype(str)
+        + ".example/p/"
+        + pd.Series(idx).astype(str)
+    )
+    text = "Page " + pd.Series(idx).astype(str) + " from crawl."
+    for j in range(3):
+        exists, city, jlon, jlat = _mention_cols(idx, j)
+        m = (
+            " Mention of "
+            + pd.Series(city)
+            + " at "
+            + pd.Series(_round5_str(jlat))
+            + ", "
+            + pd.Series(_round5_str(jlon))
+            + " in passing."
+        )
+        text = text + m.where(exists, "")
+    text = text + " End of page."
     return pd.DataFrame(
         {
             "url": url,
@@ -68,25 +96,37 @@ def synthesize_pdf(idx: np.ndarray) -> pd.DataFrame:
                 lambda s: s.encode("utf-8")
             ),
             "text": text,
-            "lang": pd.Series(idx % 4).map(lambda k: _LANGS[int(k)]),
+            "lang": pd.Series(_LANGS[(idx % 4).astype(np.int64)]),
         }
     )
 
 
 def expected_mentions_pdf(idx: np.ndarray) -> pd.DataFrame:
-    """Golden fixture: the mentions the miner must recover."""
+    """Golden fixture: the mentions the miner must recover (built from
+    the same vectorized kernel as synthesize_pdf)."""
     idx = np.asarray(idx, dtype=np.int64)
-    nm = _mix(idx, 0) % 4
-    rows = []
-    for k, i in enumerate(idx):
-        for j in range(int(nm[k])):
-            h = int(_mix(np.array([i]), j + 1)[0])
-            city = _CITIES[h % len(_CITIES)]
-            lon, lat = CITY_GAZETTEER[city]
-            jlon = round(lon + ((h >> 8) % 1000) / 1e5, 5)
-            jlat = round(max(min(lat + ((h >> 4) % 1000) / 1e5, 85.0511), -85.0511), 5)
-            rows.append((f"https://site{i % 997}.example/p/{i}", city, jlon, jlat))
-    return pd.DataFrame(rows, columns=["url", "entity", "lon", "lat"])
+    frames = []
+    url = pd.Series(
+        "https://site" + pd.Series(idx % 997).astype(str) + ".example/p/"
+        + pd.Series(idx).astype(str)
+    )
+    for j in range(3):
+        exists, city, jlon, jlat = _mention_cols(idx, j)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "url": url[exists],
+                    "entity": city[exists],
+                    "lon": jlon[exists],
+                    "lat": jlat[exists],
+                    "j": j,
+                }
+            )
+        )
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["url", "j"], ignore_index=True)[
+        ["url", "entity", "lon", "lat"]
+    ]
 
 
 def pages(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
@@ -98,3 +138,12 @@ def pages(spark: SparkSession, n: int, partitions: int | None = None) -> DataFra
             yield synthesize_pdf(pdf["id"].to_numpy())
 
     return rng.mapInPandas(gen, PAGES_SCHEMA)
+
+
+def stage_pages_parquet(
+    spark: SparkSession, n: int, path: str, partitions: int | None = None
+) -> str:
+    """Materialize the pages table to parquet (bench/ingest staging —
+    the 'Iceberg table of pages' stand-in the pipeline reads from)."""
+    pages(spark, n, partitions).write.mode("overwrite").parquet(path)
+    return path
