@@ -1,0 +1,167 @@
+"""Scaling-efficiency evidence for the north rule (BASELINE.json):
+the same mine→encode→PIP→tile job at two parallelism levels
+(local[8] = N, local[32] = 4N) on identical staged input; reports
+pages/sec at both and efficiency = speedup / 4.
+
+The sandbox stand-in for N vs 4N executors: each run is a separate
+process with its own SparkSession so JVM/thread state can't leak.
+
+Usage:
+    python BENCH/scaling.py                 # full orchestration
+    python BENCH/scaling.py --worker 8 PATH N   # (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+N_PAGES = int(os.environ.get("SCALING_N_PAGES", "16000000"))
+_lv = os.environ.get("SCALING_LEVELS", "8,32").split(",")
+LEVELS = (int(_lv[0]), int(_lv[1]))
+
+
+def worker(cpus: int, path: str, n_pages: int) -> None:
+    sys.path.insert(0, REPO)
+    from osmquadtreepostgis_spark.plans.pipeline import pages_pipeline
+    from osmquadtreepostgis_spark.session import get_spark
+
+    spark = get_spark(
+        f"scaling_{cpus}",
+        cores=cpus,
+        shuffle_partitions=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    pages_df = spark.read.parquet(path)
+    # warmup: JVM codegen + python worker spawn/imports for the same
+    # eval types the measured job uses (excluded from the measurement —
+    # a long-lived cluster pays this once, not per job)
+    pages_pipeline(pages_df.limit(200_000)).count()
+    runs = []
+    n_tiles = 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n_tiles = pages_pipeline(pages_df).count()
+        runs.append(time.perf_counter() - t0)
+    best = min(runs)
+    med = sorted(runs)[1]
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "seconds": round(best, 2),
+                "seconds_median": round(med, 2),
+                "runs": [round(r, 2) for r in runs],
+                "pages_per_sec": round(n_pages / best, 1),
+                "n_tiles": int(n_tiles),
+            }
+        )
+    )
+    spark.stop()
+
+
+def _burn(_):
+    x = 0
+    for i in range(8_000_000):
+        x += i * i
+    return x
+
+
+def cpu_calibration() -> dict:
+    """Hardware parallel-scaling ceiling of this box: the same pure-
+    python integer kernel at N and 4N processes. Single-host CPUs
+    downclock as more cores activate (and VMs overcommit), so even a
+    perfectly parallel job cannot show 4.0x wall speedup here — this
+    measures the attainable ceiling the pipeline should be judged
+    against (a real N->4N EXECUTOR scale-out adds machines, not
+    sibling cores, and does not pay this penalty)."""
+    import multiprocessing as mp
+
+    out = {}
+    for n in LEVELS:
+        with mp.Pool(n) as p:
+            t0 = time.perf_counter()
+            p.map(_burn, range(n * 3))
+            out[n] = time.perf_counter() - t0
+    # tasks scale with n, so equal wall time == perfect scaling
+    ceiling = out[LEVELS[0]] / out[LEVELS[1]]
+    return {
+        "wall_N": round(out[LEVELS[0]], 2),
+        "wall_4N_4x_tasks": round(out[LEVELS[1]], 2),
+        "hardware_ceiling_efficiency": round(min(ceiling, 1.0), 3),
+    }
+
+
+def main() -> None:
+    sys.path.insert(0, REPO)
+    from osmquadtreepostgis_spark.session import get_spark
+    from osmquadtreepostgis_spark.sources.pages import stage_pages_parquet
+
+    path = f"/tmp/oqps_scaling_pages_{N_PAGES}"
+    if not os.path.exists(path + "/_SUCCESS"):
+        spark = get_spark(
+            "scaling_stage",
+            cores=32,
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        stage_pages_parquet(spark, N_PAGES, path, partitions=128)
+        spark.stop()
+        print(f"staged {N_PAGES} pages at {path}", file=sys.stderr)
+
+    results = {}
+    for cpus in LEVELS:
+        # confine the WHOLE process tree (JVM + python workers) to
+        # exactly `cpus` cores — local[N] alone lets python workers
+        # spill onto the other cores, which would flatter the small
+        # level; taskset makes N vs 4N a true resource comparison
+        # (the sandbox analog of an N-executor vs 4N-executor cluster)
+        out = subprocess.run(
+            [
+                "taskset",
+                "-c",
+                f"0-{cpus - 1}",
+                sys.executable,
+                os.path.abspath(__file__),
+                "--worker",
+                str(cpus),
+                path,
+                str(N_PAGES),
+            ],
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=REPO,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(line, file=sys.stderr)
+
+    n, n4 = LEVELS
+    speedup = results[n]["seconds"] / results[n4]["seconds"]
+    eff = speedup / (n4 / n)
+    calib = cpu_calibration()
+    ceiling_speedup = (n4 / n) * calib["hardware_ceiling_efficiency"]
+    summary = {
+        "n_pages": N_PAGES,
+        "levels": {str(k): v for k, v in results.items()},
+        "speedup_Nto4N": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "hardware_calibration": calib,
+        "scaling_efficiency_vs_hardware_ceiling": round(
+            min(speedup / ceiling_speedup, 1.0), 3
+        ),
+    }
+    print(json.dumps(summary))
+    with open(os.path.join(REPO, "BENCH", "scaling_results.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
+    else:
+        main()

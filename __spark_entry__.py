@@ -218,9 +218,12 @@ def q_pricing_summary(spark, sf):
     _utc(spark)
     li = load_table(spark, sf, "lineitem")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # epoch-seconds comparison: TZ-independent in both engines
+    # compare against a TIMESTAMP_NTZ literal: TZ-independent (the
+    # column is NTZ) AND pushed down to the parquet scan — an epoch
+    # function call here would defeat predicate pushdown
+    cutoff = F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
     return (
-        li.filter(F.unix_timestamp("l_shipdate") <= 904694400)
+        li.filter(F.col("l_shipdate") <= cutoff)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dec_sum(F.col("l_quantity"), "sum_qty"),
@@ -592,7 +595,7 @@ def oracle_sql() -> dict[str, str]:
                      as decimal(18,4))) as double), 4) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem
-            WHERE cast(epoch(l_shipdate) as bigint) <= 904694400
+            WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus""",
         "revenue_by_nation": """
             SELECT n_name, r_name,

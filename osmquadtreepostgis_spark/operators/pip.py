@@ -31,7 +31,12 @@ from .. import geom as g
 from .. import quadtree as qt
 from ..functions.cells import cell_cover_udf, cell_encode_udf
 
-__all__ = ["PolygonIndex", "pip_join_broadcast", "pip_join_shuffle"]
+__all__ = [
+    "PolygonIndex",
+    "pip_join_broadcast",
+    "pip_join_shuffle",
+    "encode_pip_tile",
+]
 
 
 class PolygonIndex:
@@ -144,6 +149,97 @@ def pip_join_broadcast(
             yield out
 
     return points.mapInPandas(probe, out_schema)
+
+
+def encode_pip_tile(
+    points: DataFrame,
+    index: PolygonIndex,
+    cell_depth: int,
+    tile_depth: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Fused cell-encode + tile-assign + broadcast PIP in ONE
+    mapInArrow pass.
+
+    Chaining a scalar pandas UDF (encode) into a mapInPandas (probe)
+    runs two Python workers per task with a JVM hop between them —
+    measured 4x slower at 32 threads than one fused Arrow exchange.
+    Arrow RecordBatches (mapInArrow) instead of pandas: the output
+    gather (`batch.take`) is C++-side, so string columns never become
+    Python objects. This is the hot-path operator the flagship
+    pipeline/bench use; the unfused building blocks stay for
+    composability. Output: point columns + cell, tile, poly_id.
+    """
+    import pyarrow as pa
+
+    sc = points.sparkSession.sparkContext
+    b = sc.broadcast(index)
+    out_schema = T.StructType(
+        points.schema.fields
+        + [
+            T.StructField("cell", T.LongType(), False),
+            T.StructField("tile", T.LongType(), False),
+            T.StructField("poly_id", T.LongType(), False),
+        ]
+    )
+    depth = index.depth
+    i_lon = points.schema.fieldNames().index(lon_col)
+    i_lat = points.schema.fieldNames().index(lat_col)
+
+    def probe(batches):
+        idx = b.value
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            lon = rb.column(i_lon).to_numpy(zero_copy_only=False)
+            lat = rb.column(i_lat).to_numpy(zero_copy_only=False)
+            cell = qt.point_to_cell(lon, lat, cell_depth)
+            tile = qt.cell_parent(cell, tile_depth)
+            probe_cells = qt.cell_parent(cell, depth)
+            order = np.argsort(probe_cells, kind="stable")
+            uc, starts = np.unique(probe_cells[order], return_index=True)
+            bounds = np.append(starts, len(order))
+            per_poly: dict[int, list[np.ndarray]] = {}
+            for k, c in enumerate(uc):
+                cand = idx.buckets.get(int(c))
+                if cand is None:
+                    continue
+                rows = order[bounds[k] : bounds[k + 1]]
+                for pi in cand.tolist():
+                    per_poly.setdefault(pi, []).append(rows)
+            hits_rows: list[np.ndarray] = []
+            hits_poly: list[int] = []
+            for pi, row_lists in per_poly.items():
+                rows = (
+                    row_lists[0]
+                    if len(row_lists) == 1
+                    else np.concatenate(row_lists)
+                )
+                inside = g.points_in_polygon(lon[rows], lat[rows], idx.rings[pi])
+                if inside.any():
+                    hits_rows.append(rows[inside])
+                    hits_poly.append(pi)
+            if not hits_rows:
+                continue
+            all_rows = np.concatenate(hits_rows)
+            all_pids = np.concatenate(
+                [
+                    np.full(len(r), idx.poly_ids[pi], dtype=np.int64)
+                    for r, pi in zip(hits_rows, hits_poly)
+                ]
+            )
+            taken = rb.take(pa.array(all_rows))  # C++ gather, incl. strings
+            arrays = list(taken.columns) + [
+                pa.array(cell[all_rows]),
+                pa.array(tile[all_rows]),
+                pa.array(all_pids),
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=taken.schema.names + ["cell", "tile", "poly_id"]
+            )
+
+    return points.mapInArrow(probe, out_schema)
 
 
 def pip_join_shuffle(
