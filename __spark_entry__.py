@@ -395,6 +395,141 @@ def q_multimodal_meta(spark, sf):
     return d.mapInPandas(decode, schema)
 
 
+def q_overlay_pairs(spark, sf):
+    """Polygon-polygon candidate join (J5): cell-cover equi-join with
+    reference-point dedup over the box fixture layer."""
+    from osmquadtreepostgis_spark.operators.pip import bbox_overlay_join
+
+    polys = fixtures.polygons_df(spark)
+    return bbox_overlay_join(polys, polys, depth=6)
+
+
+def q_way_assembly(spark, sf):
+    """Node->way coordinate resolution (J1): explode refs, equi-join,
+    ordered regroup, mercator length rounded 1dp."""
+    from osmquadtreepostgis_spark.operators.assembly import assemble_ways
+    from osmquadtreepostgis_spark.plans.elements import ways_df
+
+    docs = _docs(spark, sf)
+    nodes = doc_coords(docs.select("doc_id")).select(
+        F.col("doc_id").alias("node_id"), "lon", "lat"
+    )
+    return assemble_ways(ways_df(docs).select("way_id", "refs"), nodes)
+
+
+def q_parent_tags(spark, sf):
+    """Parent-tag propagation (J3): nodes inherit the best containing
+    way's highway tag (z_order priority)."""
+    from osmquadtreepostgis_spark.operators.assembly import propagate_parent_tags
+    from osmquadtreepostgis_spark.plans.elements import ways_df
+
+    docs = _docs(spark, sf)
+    nodes = doc_coords(docs.select("doc_id")).select(
+        F.col("doc_id").alias("node_id"), "lon", "lat"
+    )
+    return propagate_parent_tags(nodes, ways_df(docs))
+
+
+def q_lowzoom_counts(spark, sf):
+    """Pyramid-level visibility (D1/D2): rows visible at each level's
+    minzoom cutoff."""
+    from osmquadtreepostgis_spark.operators.pyramid import lowzoom_level
+
+    el = EL.elements_df(_docs(spark, sf)).withColumn(
+        "minzoom",
+        RT.minzoom_col(F.col("tags"), F.col("geom_type"), F.col("way_area")),
+    )
+    out = None
+    for cutoff in (6, 9, 11):
+        lvl = (
+            lowzoom_level(el, cutoff, None, cell_col="__none__")
+            .agg(F.count(F.lit(1)).alias("n_visible"))
+            .withColumn("zoom", F.lit(cutoff).cast("long"))
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+    return out.select("zoom", "n_visible")
+
+
+def q_json_props(spark, sf):
+    """Null-stripped JSON properties projection (P8,
+    jsonb_strip_nulls(row_to_json(...)), __init__.py:261-262) —
+    deterministic manual packing identical in both engines."""
+    el = EL.elements_df(_docs(spark, sf))
+    t = F.col("tags")
+
+    def ent(k):
+        v = F.element_at(t, k)
+        return F.when(
+            v.isNotNull(), F.concat(F.lit(f'"{k}":"'), v, F.lit('"'))
+        )
+
+    keys = ["admin_level", "boundary", "building", "highway", "name", "type"]
+    props = F.concat(
+        F.lit("{"), F.concat_ws(",", *[ent(k) for k in keys]), F.lit("}")
+    )
+    return el.select("osm_id", props.alias("properties"))
+
+
+def q_geom_measures(spark, sf):
+    """WKB round-trip measures (F2/F9/F14): per-doc mercator rectangle
+    -> EWKB -> area/validity via the geometry UDFs, vs closed-form SQL."""
+    from osmquadtreepostgis_spark.functions.geometry import (
+        bbox_to_wkb_udf,
+        wkb_area_udf,
+        wkb_is_valid_udf,
+    )
+
+    d = doc_coords(_docs(spark, sf).select("doc_id"))
+    d = d.withColumn("lat", F.least(F.col("lat"), F.lit(84.5)))
+    way = bbox_to_wkb_udf(round_2dp=True)(
+        F.col("lon"), F.col("lat"), F.col("lon") + 0.5, F.col("lat") + 0.25
+    )
+    return d.select(
+        "doc_id",
+        wkb_area_udf(way).alias("way_area"),
+        wkb_is_valid_udf(way).alias("is_valid"),
+    )
+
+
+def q_multipolygon_parts(spark, sf):
+    """Relation->multipolygon assembly (J2): two-part relations built
+    from doc coords; ring chaining + per-part area (NOT SQL-
+    expressible: rows-only driver check; pinned by pytest)."""
+    from osmquadtreepostgis_spark.operators.assembly import assemble_multipolygons
+
+    d = doc_coords(_docs(spark, sf).select("doc_id")).filter(
+        F.col("doc_id") % 7 == 0
+    )
+    d = d.withColumn("lat", F.least(F.col("lat"), F.lit(84.0)))
+
+    def rect(lon0, lat0, dlon, dlat):
+        return F.array(
+            F.struct(lon0.alias("lon"), lat0.alias("lat")),
+            F.struct((lon0 + dlon).alias("lon"), lat0.alias("lat")),
+            F.struct((lon0 + dlon).alias("lon"), (lat0 + dlat).alias("lat")),
+            F.struct(lon0.alias("lon"), (lat0 + dlat).alias("lat")),
+            F.struct(lon0.alias("lon"), lat0.alias("lat")),
+        )
+
+    lon, lat = F.col("lon"), F.col("lat")
+    m1 = d.select(
+        F.col("doc_id").alias("rel_id"),
+        F.lit(1).alias("way_id"),
+        F.lit("outer").alias("role"),
+        rect(lon, lat, F.lit(0.4), F.lit(0.2)).alias("coords"),
+    )
+    m2 = d.select(
+        F.col("doc_id").alias("rel_id"),
+        F.lit(2).alias("way_id"),
+        F.lit("outer").alias("role"),
+        rect(lon + 1.0, lat, F.lit(0.2), F.lit(0.2)).alias("coords"),
+    )
+    members = m1.unionByName(m2)
+    return assemble_multipolygons(members, round_2dp=True).select(
+        "rel_id", "part", "way_area"
+    )
+
+
 def _shipped(fn):
     """Make sure workers can import the package before running (the
     addPyFile analog of spark-submit --py-files)."""
@@ -436,6 +571,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": _shipped(q_embed_topk),
         "text_analysis": _shipped(q_text_analysis),
         "multimodal_meta": _shipped(q_multimodal_meta),
+        "overlay_pairs": _shipped(q_overlay_pairs),
+        "way_assembly": _shipped(q_way_assembly),
+        "parent_tags": _shipped(q_parent_tags),
+        "lowzoom_counts": _shipped(q_lowzoom_counts),
+        "json_props": _shipped(q_json_props),
+        "geom_measures": _shipped(q_geom_measures),
+        "multipolygon_parts": _shipped(q_multipolygon_parts),
     }
 
 
@@ -717,4 +859,92 @@ def oracle_sql() -> dict[str, str]:
                    false AS decoded
             FROM documents""",
     }
+
+
+    def rect_area(lon0, lat0, lon1, lat1):
+        A = f"round(6378137.0 * radians({lon0}), 2)"
+        B = f"round(6378137.0 * radians({lon1}), 2)"
+        C = f"round(6378137.0 * ln(tan(pi()/4.0 + radians({lat0})/2.0)), 2)"
+        D = f"round(6378137.0 * ln(tan(pi()/4.0 + radians({lat1})/2.0)), 2)"
+        c0 = f"(({A})*({C}) - ({B})*({C}))"
+        c1 = f"(({B})*({D}) - ({B})*({C}))"
+        c2 = f"(({B})*({D}) - ({A})*({D}))"
+        c3 = f"(({A})*({C}) - ({A})*({D}))"
+        return f"round(abs(((({c0} + {c1}) + {c2}) + {c3}) / 2.0), 1)"
+    merc_y = lambda lat: (
+        f"(6378137.0 * ln(tan(pi()/4.0 + radians({lat})/2.0)))"
+    )
+    merc_x = lambda lon: f"(6378137.0 * radians({lon}))"
+    sql["overlay_pairs"] = f"""
+        WITH b AS (SELECT * FROM {fixtures.sql_box_values('q')})
+        SELECT a.poly_id AS id_a, b.poly_id AS id_b
+        FROM {fixtures.sql_box_values('a')} JOIN b
+          ON a.poly_id < b.poly_id
+         AND a.xmin < b.xmax AND b.xmin < a.xmax
+         AND a.ymin < b.ymax AND b.ymin < a.ymax"""
+    sql["way_assembly"] = f"""
+        WITH {_DOCS_CTE},
+        ex AS ({EL.sql_ways_exploded_cte()}),
+        j AS (SELECT ex.way_id, ex.pos, d.lon, d.lat
+              FROM ex JOIN docs d ON ex.node_id = d.doc_id),
+        seg AS (
+          SELECT way_id, pos,
+                 sqrt(pow({merc_x('lon')} - lag({merc_x('lon')})
+                          OVER (PARTITION BY way_id ORDER BY pos), 2)
+                    + pow({merc_y('lat')} - lag({merc_y('lat')})
+                          OVER (PARTITION BY way_id ORDER BY pos), 2)) AS s
+          FROM j)
+        SELECT way_id, count(*) AS n_pts,
+               round(coalesce(sum(s), 0.0), 1) AS length_m
+        FROM seg GROUP BY way_id"""
+    sql["parent_tags"] = f"""
+        WITH {_DOCS_CTE},
+        ex AS ({EL.sql_ways_exploded_cte()}),
+        ranked AS (
+          SELECT node_id, highway,
+                 row_number() OVER (
+                   PARTITION BY node_id
+                   ORDER BY {RT.sql_z_order('highway')} DESC NULLS LAST,
+                            way_id ASC) AS rn
+          FROM ex WHERE highway IS NOT NULL)
+        SELECT d.doc_id AS node_id, r.highway AS parent_highway
+        FROM docs d LEFT JOIN ranked r
+          ON d.doc_id = r.node_id AND r.rn = 1"""
+    sql["lowzoom_counts"] = f"""
+        WITH el AS ({el}),
+        mz AS (SELECT {mz} AS minzoom FROM el)
+        SELECT cast(6 as bigint) AS zoom, count(*) AS n_visible FROM mz WHERE minzoom <= 6
+        UNION ALL
+        SELECT cast(9 as bigint), count(*) FROM mz WHERE minzoom <= 9
+        UNION ALL
+        SELECT cast(11 as bigint), count(*) FROM mz WHERE minzoom <= 11"""
+    _jent = lambda k: (
+        f"""CASE WHEN {k} IS NOT NULL THEN '"{k}":"' || {k} || '"' END"""
+    )
+    sql["json_props"] = f"""
+        WITH el AS ({el})
+        SELECT osm_id,
+               '{{' || concat_ws(',', {_jent('admin_level')}, {_jent('boundary')},
+                 {_jent('building')}, {_jent('highway')}, {_jent('name')},
+                 {_jent('type_tag').replace('"type_tag"', '"type"')}) || '}}'
+                 AS properties
+        FROM el"""
+    sql["geom_measures"] = f"""
+        WITH {_DOCS_CTE},
+        clamped AS (SELECT doc_id, lon, least(lat, 84.5) AS lat FROM docs)
+        SELECT doc_id,
+               {rect_area('lon', 'lat', 'lon + 0.5', 'lat + 0.25')} AS way_area,
+               true AS is_valid
+        FROM clamped"""
+    sql["multipolygon_parts"] = f"""
+        WITH {_DOCS_CTE},
+        base AS (SELECT doc_id AS rel_id, lon, least(lat, 84.0) AS lat
+                 FROM docs WHERE doc_id % 7 = 0)
+        SELECT rel_id, cast(0 as bigint) AS part,
+               {rect_area('lon', 'lat', 'lon + 0.4', 'lat + 0.2')} AS way_area
+        FROM base
+        UNION ALL
+        SELECT rel_id, cast(1 as bigint),
+               {rect_area('lon + 1.0', 'lat', 'lon + 1.2', 'lat + 0.2')}
+        FROM base"""
     return sql

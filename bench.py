@@ -78,6 +78,13 @@ def main() -> None:
         "embed_topk",
         "text_analysis",
         "multimodal_meta",
+        "overlay_pairs",
+        "way_assembly",
+        "parent_tags",
+        "lowzoom_counts",
+        "json_props",
+        "geom_measures",
+        "multipolygon_parts",
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 

@@ -40,6 +40,7 @@ _WKB_POLYGON = 3
 _WKB_MULTIPOLYGON = 6
 
 __all__ = [
+    "round1_half_away",
     "merc_forward",
     "merc_inverse",
     "line_length",
@@ -62,6 +63,14 @@ __all__ = [
 
 # ---------------------------------------------------------------------------
 # projection (EPSG:4326 <-> EPSG:3857 metres)
+
+
+def round1_half_away(x):
+    """1-dp rounding with the reference's std::round semantics
+    (half AWAY from zero, src/postgiswriter.cpp:84-100) — python's
+    built-in round is half-even and disagrees on exact .x5 values."""
+    x = np.asarray(x, dtype=np.float64)
+    return np.sign(x) * np.floor(np.abs(x) * 10.0 + 0.5) / 10.0
 
 
 def merc_forward(lon, lat, round_2dp: bool = False):

@@ -242,6 +242,65 @@ def encode_pip_tile(
     return points.mapInArrow(probe, out_schema)
 
 
+def bbox_overlay_join(
+    a: DataFrame,
+    b: DataFrame,
+    depth: int = 6,
+    a_id: str = "poly_id",
+    b_id: str = "poly_id",
+) -> DataFrame:
+    """Polygon-polygon candidate join (SURVEY.md §2.3 J5): explode
+    both sides to covering cells at ``depth``, equi-join on cell,
+    **reference-point dedup** (a pair survives only in the cell that
+    contains the south-west corner of the bbox intersection — no
+    dedupe shuffle), then the exact bbox-overlap test.
+
+    Inputs need (id, xmin, ymin, xmax, ymax). Output: (id_a, id_b)
+    with id_a < id_b. Exact geometry intersection tests can be chained
+    after (candidate semantics match PostGIS && on gist).
+    """
+    from .. import quadtree as qtm
+
+    cover = cell_cover_udf(depth)
+    ea = a.select(
+        F.col(a_id).alias("id_a"),
+        F.col("xmin").alias("axmin"),
+        F.col("ymin").alias("aymin"),
+        F.col("xmax").alias("axmax"),
+        F.col("ymax").alias("aymax"),
+        F.explode(cover("xmin", "ymin", "xmax", "ymax")).alias("__cell"),
+    )
+    eb = b.select(
+        F.col(b_id).alias("id_b"),
+        F.col("xmin").alias("bxmin"),
+        F.col("ymin").alias("bymin"),
+        F.col("xmax").alias("bxmax"),
+        F.col("ymax").alias("bymax"),
+        F.explode(cover("xmin", "ymin", "xmax", "ymax")).alias("__cell"),
+    )
+    j = ea.join(eb, "__cell").filter(F.col("id_a") < F.col("id_b"))
+    overlap = (
+        (F.col("axmin") < F.col("bxmax"))
+        & (F.col("bxmin") < F.col("axmax"))
+        & (F.col("aymin") < F.col("bymax"))
+        & (F.col("bymin") < F.col("aymax"))
+    )
+    # reference point: SW corner of the bbox intersection; its cell is
+    # a cover cell of BOTH bboxes, so exactly one joined cell survives
+    rx = F.greatest("axmin", "bxmin")
+    ry = F.greatest("aymin", "bymin")
+    ref_cell = F.expr(
+        qtm.sql_point_to_cell(
+            "greatest(axmin, bxmin)", "greatest(aymin, bymin)", depth
+        )
+    )
+    return (
+        j.filter(overlap)
+        .filter(F.col("__cell") == ref_cell)
+        .select("id_a", "id_b")
+    )
+
+
 def pip_join_shuffle(
     points: DataFrame,
     polys: DataFrame,

@@ -46,6 +46,33 @@ def elements_df(docs: DataFrame) -> DataFrame:
     )
 
 
+def ways_df(docs: DataFrame) -> DataFrame:
+    """Synthetic way topology over documents: every 5th doc is a way
+    whose refs are the next 2-5 doc ids (J1/J3 join inputs)."""
+    d = F.col("doc_id")
+    refs = F.transform(F.sequence(F.lit(1), (2 + d % 4).cast("int")), lambda i: d + i)
+    el = elements_df(docs.filter(d % 5 == 0))
+    return (
+        docs.filter(d % 5 == 0)
+        .select(d.alias("way_id"), refs.alias("refs"))
+        .join(el.select(F.col("osm_id").alias("way_id"), "tags"), "way_id")
+    )
+
+
+def sql_ways_exploded_cte() -> str:
+    """DuckDB twin of ways_df, pre-exploded: (way_id, pos, node_id,
+    highway)."""
+    return """
+        SELECT doc_id AS way_id,
+               unnest(range(1, 2 + doc_id % 4 + 1)) AS pos,
+               doc_id + unnest(range(1, 2 + doc_id % 4 + 1)) AS node_id,
+               CASE WHEN doc_id % 6 < 4
+                    THEN (['motorway', 'primary', 'residential',
+                           'footway'])[cast(doc_id % 6 as int) + 1] END AS highway
+        FROM documents WHERE doc_id % 5 = 0
+    """
+
+
 def sql_elements_cte() -> str:
     """DuckDB CTE body producing the same element scalars (tags kept
     as individual columns — the oracle never needs the map shape)."""
