@@ -20,8 +20,11 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-N_PAGES = int(os.environ.get("SCALING_N_PAGES", "16000000"))
-_lv = os.environ.get("SCALING_LEVELS", "8,32").split(",")
+# defaults reproduce the documented BENCH/BASELINE.md evidence:
+# levels 2 vs 8 sit below this single host's frequency/bandwidth
+# cliff (see BASELINE.md) and isolate the dataflow's scaling
+N_PAGES = int(os.environ.get("SCALING_N_PAGES", "32000000"))
+_lv = os.environ.get("SCALING_LEVELS", "2,8").split(",")
 LEVELS = (int(_lv[0]), int(_lv[1]))
 
 
