@@ -339,7 +339,7 @@ def q_dedup_simhash(spark, sf):
 
 def q_embed_cosine_pairs(spark, sf):
     emb = load_table(spark, sf, "embeddings")
-    return KNN.ann_cosine_pairs(emb, threshold=0.8)
+    return KNN.ann_cosine_pairs_blocked(emb, threshold=0.8)
 
 
 def q_embed_topk(spark, sf):

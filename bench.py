@@ -44,7 +44,9 @@ def main() -> None:
     # --- headline: pages/sec end-to-end ------------------------------------
     # stage the input table first (the "Iceberg pages table" the north
     # rule reads from); the timed section is mine+encode+PIP+tile only
-    n_pages = max(int(2_000_000 * sf), 10_000)
+    # large enough that the timed section is throughput- (not fixed-
+    # cost-) bound at 32 threads: ~2M pages at the driver's sf0.1
+    n_pages = max(int(20_000_000 * sf), 10_000)
     pages_path = f"/tmp/oqps_bench_pages_{n_pages}"
     timed(
         "pages_stage",

@@ -24,10 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.sketches import (
-    minhash_signature,
-    word_shingles,
-)
+from ..functions.sketches import word_shingles
 from ..functions.text import fingerprint
 
 __all__ = [
@@ -111,9 +108,34 @@ def minhash_lsh_pairs(
     generation never compares all pairs.
     """
     rows_per_band = n_hashes // bands
-    sig = df.select(
+    # signatures via explode + ONE hash-aggregate pass (16 codegen'd
+    # conditional mins). The Column-API minhash_signature is
+    # semantically identical but evaluates 16 interpreted array
+    # transforms (md5 per shingle re-hashed per permutation) — ~20x
+    # slower; keep it off the hot path (same lesson as SimHash).
+    hashed = df.select(
         F.col(id_col).alias("id"),
-        minhash_signature(word_shingles(text_col, n), n_hashes).alias("__sig"),
+        F.explode_outer(
+            F.transform(
+                word_shingles(text_col, n),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            )
+        ).alias("__hv"),
+    )
+    from ..functions.sketches import MINHASH_P, minhash_params
+
+    mins = [
+        F.coalesce(F.min((F.col("__hv") * a + b) % MINHASH_P), F.lit(MINHASH_P)).alias(
+            f"__mh{i}"
+        )
+        for i, (a, b) in enumerate(minhash_params(n_hashes))
+    ]
+    sig = (
+        hashed.groupBy("id")
+        .agg(*mins)
+        .select(
+            "id", F.array(*[F.col(f"__mh{i}") for i in range(n_hashes)]).alias("__sig")
+        )
     )
     band_structs = F.array(
         *[
@@ -141,12 +163,23 @@ def minhash_lsh_pairs(
     b = banded.select(
         F.col("id").alias("id_b"), F.col("__sig").alias("__sigb"), "band", "bucket"
     )
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__siga", "__sigb")
-        .dropDuplicates(["id_a", "id_b"])  # may share several bands
-    )
+    j = a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    # first-shared-band dedup: a pair may share several bands; keep it
+    # only in the FIRST one — computable from the two signatures, so
+    # no dropDuplicates shuffle over the candidate pairs (the
+    # aggregation-free analog of the overlay reference-point trick)
+    first_shared = None
+    for bi in range(bands):
+        eq = F.lit(True)
+        for ri in range(rows_per_band):
+            k = bi * rows_per_band + ri + 1
+            eq = eq & (
+                F.element_at("__siga", k) == F.element_at("__sigb", k)
+            )
+        first_shared = (
+            F.when(eq, bi) if first_shared is None else first_shared.when(eq, bi)
+        )
+    cand = j.filter(F.col("band") == first_shared)
     agree = F.size(
         F.filter(
             F.zip_with(F.col("__siga"), F.col("__sigb"), lambda x, y: x == y),

@@ -73,6 +73,13 @@ def documents_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     mentions = mine_gazetteer_terms(docs)  # doc_id, entity, lon, lat, n_occurrences
+    # running progress counters (the reference's 4-counter progress
+    # line, docs/output.txt:16,69) — read via df.observe listeners
+    mentions = mentions.observe(
+        "mine_metrics",
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.sum("n_occurrences").alias("n_occurrences"),
+    )
     index = PolygonIndex.from_polygons_df(fixtures.polygons_df(spark), depth=6)
     hits = encode_pip_tile(mentions, index, CELL_DEPTH, TILE_DEPTH)
     return (
