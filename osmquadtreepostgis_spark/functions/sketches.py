@@ -44,9 +44,11 @@ def sql_md5_int64(expr: str) -> str:
     return f"cast(concat('0x', substr(md5({expr}), 1, 15)) as bigint)"
 
 
-def word_shingles(text, n: int = 3) -> Column:
-    """Distinct n-gram word shingles (space-joined) of a text column."""
-    toks = F.split(F.col(text) if isinstance(text, str) else text, " ")
+def word_shingles_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingles over an ALREADY-MATERIALIZED token
+    array column. Prefer this on hot paths: inlining split() inside
+    the shingle expression re-evaluates it per element access
+    (measured 6.8s vs ~1s for 5000 docs)."""
     k = F.size(toks)
     # guard: sequence(1, 0) DESCENDS in Spark; short texts get no shingles
     idx = F.when(k >= n, F.sequence(F.lit(1), k - (n - 1))).otherwise(
@@ -59,6 +61,12 @@ def word_shingles(text, n: int = 3) -> Column:
         ),
     )
     return F.array_distinct(grams)
+
+
+def word_shingles(text, n: int = 3) -> Column:
+    """Distinct n-gram word shingles (space-joined) of a text column."""
+    toks = F.split(F.col(text) if isinstance(text, str) else text, " ")
+    return word_shingles_tokens(toks, n)
 
 
 def sql_word_shingles(text: str, n: int = 3) -> str:

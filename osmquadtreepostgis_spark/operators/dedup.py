@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.sketches import word_shingles
+from ..functions.sketches import word_shingles_tokens
 from ..functions.text import fingerprint
 
 __all__ = [
@@ -67,8 +67,11 @@ def ngram_jaccard_pairs(
     J = inter / (|A| + |B| - inter). Returns (id_a, id_b, jaccard)
     with id_a < id_b, jaccard rounded 4dp.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("__sh")
+    toks = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    sh = toks.select(
+        "id", word_shingles_tokens(F.col("__toks"), n).alias("__sh")
     ).withColumn("__size", F.size("__sh"))
     ex = sh.select("id", "__size", F.explode("__sh").alias("__s"))
     a = ex.select(
@@ -77,9 +80,15 @@ def ngram_jaccard_pairs(
     b = ex.select(
         F.col("id").alias("id_b"), F.col("__size").alias("__sb"), "__s"
     )
+    # exact-preserving size-ratio prune: J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
+    # so pairs with mismatched sizes can never reach the threshold —
+    # filters the join output BEFORE the expensive pair aggregation
+    size_ok = (F.col("__sa") >= threshold * F.col("__sb")) & (
+        F.col("__sb") >= threshold * F.col("__sa")
+    )
     inter = (
         a.join(b, "__s")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & size_ok)
         .groupBy("id_a", "id_b", "__sa", "__sb")
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
@@ -113,11 +122,17 @@ def minhash_lsh_pairs(
     # semantically identical but evaluates 16 interpreted array
     # transforms (md5 per shingle re-hashed per permutation) — ~20x
     # slower; keep it off the hot path (same lesson as SimHash).
-    hashed = df.select(
-        F.col(id_col).alias("id"),
+    toks = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    shingled = toks.select(
+        "id", word_shingles_tokens(F.col("__toks"), n).alias("__sh")
+    )
+    hashed = shingled.select(
+        "id",
         F.explode_outer(
             F.transform(
-                word_shingles(text_col, n),
+                F.col("__sh"),
                 lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
             )
         ).alias("__hv"),
@@ -213,11 +228,17 @@ def simhash_pairs(
     # sums, whole-stage codegen'd). The scalar simhash64 Column is
     # semantically identical but evaluates 60 interpreted array
     # aggregates per row — ~50x slower; never use it on the hot path.
-    hashed = df.select(
-        F.col(id_col).alias("id"),
+    toks = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    shingled = toks.select(
+        "id", word_shingles_tokens(F.col("__toks"), n).alias("__sh")
+    )
+    hashed = shingled.select(
+        "id",
         F.explode_outer(
             F.transform(
-                word_shingles(text_col, n),
+                F.col("__sh"),
                 lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
             )
         ).alias("__hv"),
