@@ -314,6 +314,20 @@ def q_events_window_agg(spark, sf):
     )
 
 
+def q_stream_stateful_sessionize(spark, sf):
+    """Custom stateful streaming op (applyInPandasWithState): per-user
+    sessionization with explicit state; equals the batch window
+    formulation, so it shares that oracle."""
+    _utc(spark)
+    from osmquadtreepostgis_spark.streaming.stream import (
+        stream_sessionize_stateful,
+    )
+
+    return run_stream_to_completion(
+        stream_sessionize_stateful(spark, sf), name="q_stream_sessionize"
+    )
+
+
 def q_stream_events_window(spark, sf):
     _utc(spark)
     return run_stream_to_completion(
@@ -563,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _shipped(q_events_sessionize),
         "events_window_agg": _shipped(q_events_window_agg),
         "stream_events_window": _shipped(q_stream_events_window),
+        "stream_stateful_sessionize": _shipped(q_stream_stateful_sessionize),
         "dedup_exact": _shipped(q_dedup_exact),
         "dedup_ngram_jaccard": _shipped(q_dedup_ngram_jaccard),
         "dedup_minhash_lsh": _shipped(q_dedup_minhash_lsh),
@@ -786,6 +801,19 @@ def oracle_sql() -> dict[str, str]:
                    round(cast(sum(cast(value as decimal(18,4))) as double), 4)
                      AS sum_value
             FROM events GROUP BY 1, 2""",
+        "stream_stateful_sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id,
+                     cast(epoch(ts) as bigint)
+                     - lag(cast(epoch(ts) as bigint))
+                       OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                       AS gap
+              FROM events)
+            SELECT user_id,
+                   sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                     AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id""",
         "stream_events_window": """
             SELECT cast(epoch(date_trunc('hour', ts)) as bigint) AS win_start,
                    event_type, count(*) AS n,

@@ -17,7 +17,11 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["stream_events_windowed", "run_stream_to_completion"]
+__all__ = [
+    "stream_events_windowed",
+    "stream_sessionize_stateful",
+    "run_stream_to_completion",
+]
 
 
 def stream_events_windowed(
@@ -54,14 +58,66 @@ def stream_events_windowed(
     )
 
 
+def stream_sessionize_stateful(
+    spark: SparkSession, sf_dir: str, gap_seconds: int = 1800
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user sessionization with arbitrary state — the net-new
+    streaming capability beyond the reference's bounded-stream model
+    (SURVEY.md §2.10). State per user: (last_ts, n_sessions, n_events);
+    emits one row per user per micro-batch with running totals."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = Path(tempfile.gettempdir()) / f"oqps_stream_{abs(hash(sf_dir))}"
+    stage.mkdir(exist_ok=True)
+    link = stage / "events.parquet"
+    if not link.exists():
+        link.symlink_to(f"{sf_dir}/events.parquet")
+    src = spark.readStream.schema(schema).parquet(str(stage))
+
+    out_schema = "user_id long, n_sessions long, n_events long"
+    state_schema = "last_epoch long, n_sessions long, n_events long"
+
+    def track(key, pdfs, state: GroupState):
+        last, nsess, nev = state.get if state.exists else (None, 0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"].astype("int64") // 10**9:
+                if last is None or ts - last > gap_seconds:
+                    nsess += 1
+                last = int(ts)
+                nev += 1
+        state.update((last, nsess, nev))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [nsess], "n_events": [nev]}
+        )
+
+    return (
+        src.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def run_stream_to_completion(
-    streaming_df: DataFrame, name: str = "stream_out"
+    streaming_df: DataFrame, name: str = "stream_out", output_mode: str | None = None
 ) -> DataFrame:
     """Drive a streaming query over bounded input to completion
-    (the EOS flush analog) and return the materialized result."""
+    (the EOS flush analog) and return the materialized result.
+    Output mode: 'complete' for aggregations, 'update' for stateful
+    operators (auto-detected by default)."""
     spark = streaming_df.sparkSession
+    if output_mode is None:
+        # applyInPandasWithState plans reject 'complete'
+        output_mode = (
+            "update" if "FlatMapGroupsInPandasWithState" in streaming_df._jdf.queryExecution().logical().toString() else "complete"
+        )
     q = (
-        streaming_df.writeStream.outputMode("complete")
+        streaming_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()

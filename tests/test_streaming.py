@@ -1,0 +1,69 @@
+"""Streaming operators: windowed agg == batch twin; stateful
+sessionization == batch sessionization."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from osmquadtreepostgis_spark.streaming.stream import (
+    run_stream_to_completion,
+    stream_events_windowed,
+    stream_sessionize_stateful,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _batch_sessions(spark):
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("s", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("s").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def test_stream_window_equals_batch(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    got = run_stream_to_completion(
+        stream_events_windowed(spark, SF), "t_stream_w"
+    ).toPandas()
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    want = (
+        e.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .toPandas()
+    )
+    g = got.sort_values(["win_start", "event_type"], ignore_index=True)
+    w = want.sort_values(["win_start", "event_type"], ignore_index=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_stateful_sessionize_equals_batch(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    got = run_stream_to_completion(
+        stream_sessionize_stateful(spark, SF), "t_sess"
+    ).toPandas()
+    # update-mode memory sink keeps the latest row per key
+    got = (
+        got.sort_values("n_events")
+        .groupby("user_id", as_index=False)
+        .last()
+        .sort_values("user_id", ignore_index=True)
+    )
+    want = _batch_sessions(spark).toPandas().sort_values("user_id", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got[["user_id", "n_sessions", "n_events"]],
+        want[["user_id", "n_sessions", "n_events"]],
+        check_dtype=False,
+    )
