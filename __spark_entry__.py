@@ -505,6 +505,34 @@ def q_geom_measures(spark, sf):
     )
 
 
+def q_rollup_pricing(spark, sf):
+    """GROUP BY ROLLUP (built-in Catalyst; absent in the reference,
+    free in Spark — SURVEY.md §2.4)."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(_dec_sum(F.col("l_quantity"), "sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_salted_tile_agg(spark, sf):
+    """Hot-key-salted two-phase aggregation — exact same result as the
+    plain tile aggregate (shares its oracle arithmetic)."""
+    from osmquadtreepostgis_spark.operators.skew import salted_agg
+
+    d = doc_coords(_docs(spark, sf).select("doc_id", "n_chars"))
+    enc = d.withColumn("cell", cell_encode_udf(CELL_DEPTH)("lon", "lat")).withColumn(
+        "tile", cell_parent_col("cell", TILE_DEPTH)
+    )
+    return salted_agg(
+        enc,
+        ["tile"],
+        {"n_docs": ("count", F.lit(1)), "sum_chars": ("sum", F.col("n_chars"))},
+        n_salt=8,
+        salt_source=F.col("doc_id"),
+    )
+
+
 def q_multipolygon_parts(spark, sf):
     """Relation->multipolygon assembly (J2): two-part relations built
     from doc coords; ring chaining + per-part area (NOT SQL-
@@ -593,6 +621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": _shipped(q_json_props),
         "geom_measures": _shipped(q_geom_measures),
         "multipolygon_parts": _shipped(q_multipolygon_parts),
+        "rollup_pricing": _shipped(q_rollup_pricing),
+        "salted_tile_agg": _shipped(q_salted_tile_agg),
     }
 
 
@@ -903,6 +933,16 @@ def oracle_sql() -> dict[str, str]:
         f"(6378137.0 * ln(tan(pi()/4.0 + radians({lat})/2.0)))"
     )
     merc_x = lambda lon: f"(6378137.0 * radians({lon}))"
+    sql["rollup_pricing"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(cast(sum(cast(l_quantity as decimal(18,4))) as double), 4)
+                 AS sum_qty,
+               count(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+    sql["salted_tile_agg"] = f"""
+        WITH {_DOCS_CTE}, {_CELLS_CTE}, {_ENC_CTE}
+        SELECT tile, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        FROM enc GROUP BY tile"""
     sql["overlay_pairs"] = f"""
         WITH b AS (SELECT * FROM {fixtures.sql_box_values('q')})
         SELECT a.poly_id AS id_a, b.poly_id AS id_b
