@@ -87,6 +87,9 @@ def main() -> None:
         "json_props",
         "geom_measures",
         "multipolygon_parts",
+        "rollup_pricing",
+        "salted_tile_agg",
+        "stream_events_window",
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
