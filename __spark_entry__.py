@@ -370,6 +370,9 @@ def q_text_analysis(spark, sf):
     return d.select(
         "doc_id",
         TX.token_count("text").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]{4,}"), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens_re"),
         TX.lang_id("text").alias("lang_pred"),
         TX.quality_score("text").alias("quality"),
         TX.fingerprint("text").alias("fp"),
@@ -505,6 +508,32 @@ def q_geom_measures(spark, sf):
     )
 
 
+def q_asof_events_orders(spark, sf):
+    """As-of join: each event (ts remapped into the orders epoch range)
+    picks the customer's latest order at-or-before it. Exact
+    union+window method vs DuckDB's native ASOF JOIN."""
+    _utc(spark)
+    from osmquadtreepostgis_spark.operators.asof import asof_join
+
+    orders = load_table(spark, sf, "orders")
+    left = (
+        orders.groupBy(
+            F.col("o_custkey").alias("k"),
+            F.unix_timestamp("o_orderdate").alias("lts"),
+        )
+        .agg(_dec_sum(F.col("o_totalprice"), "tp"))
+    )
+    events = load_table(spark, sf, "events")
+    right = events.select(
+        "event_id",
+        (F.col("user_id") + 1).alias("k"),
+        (F.lit(694224000) + F.unix_timestamp("ts") % 189216000).alias("rts"),
+    )
+    return asof_join(left, right, "k", "lts", "rts", ["tp"]).select(
+        "event_id", "k", "tp"
+    )
+
+
 def q_rollup_pricing(spark, sf):
     """GROUP BY ROLLUP (built-in Catalyst; absent in the reference,
     free in Spark — SURVEY.md §2.4)."""
@@ -622,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_measures": _shipped(q_geom_measures),
         "multipolygon_parts": _shipped(q_multipolygon_parts),
         "rollup_pricing": _shipped(q_rollup_pricing),
+        "asof_events_orders": _shipped(q_asof_events_orders),
         "salted_tile_agg": _shipped(q_salted_tile_agg),
     }
 
@@ -906,6 +936,8 @@ def oracle_sql() -> dict[str, str]:
         "text_analysis": f"""
             SELECT doc_id,
                    {TX.sql_token_count('text')} AS n_tokens,
+                   cast(len(regexp_extract_all(text, '[a-z]{{4,}}')) as bigint)
+                     AS n_tokens_re,
                    {TX.sql_lang_id('text')} AS lang_pred,
                    {TX.sql_quality_score('text')} AS quality,
                    {TX.sql_fingerprint('text')} AS fp
@@ -933,6 +965,18 @@ def oracle_sql() -> dict[str, str]:
         f"(6378137.0 * ln(tan(pi()/4.0 + radians({lat})/2.0)))"
     )
     merc_x = lambda lon: f"(6378137.0 * radians({lon}))"
+    sql["asof_events_orders"] = """
+        WITH l AS (
+          SELECT o_custkey AS k, cast(epoch(o_orderdate) as bigint) AS lts,
+                 round(cast(sum(cast(o_totalprice as decimal(18,4))) as double), 4)
+                   AS tp
+          FROM orders GROUP BY 1, 2),
+        r AS (
+          SELECT event_id, user_id + 1 AS k,
+                 694224000 + cast(epoch(ts) as bigint) % 189216000 AS rts
+          FROM events)
+        SELECT r.event_id, r.k, l.tp
+        FROM r ASOF LEFT JOIN l ON r.k = l.k AND r.rts >= l.lts"""
     sql["rollup_pricing"] = """
         SELECT l_returnflag, l_linestatus,
                round(cast(sum(cast(l_quantity as decimal(18,4))) as double), 4)

@@ -1,0 +1,107 @@
+"""Hypothesis property tests for the numpy kernels (no Spark)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from osmquadtreepostgis_spark import geom as g
+from osmquadtreepostgis_spark import quadtree as qt
+
+lon_s = st.floats(min_value=-180.0, max_value=179.999999, allow_nan=False)
+lat_s = st.floats(min_value=-85.0, max_value=85.0, allow_nan=False)
+depth_s = st.integers(min_value=1, max_value=20)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon_s, lat_s, depth_s)
+def test_cell_contains_its_point(lon, lat, depth):
+    k = qt.point_to_cell(np.array([lon]), np.array([lat]), depth)
+    lo0, la0, lo1, la1 = qt.cell_to_bbox(k)
+    assert lo0[0] - 1e-9 <= lon <= lo1[0] + 1e-9
+    # lat may clamp at the mercator cutoff
+    latc = min(max(lat, -qt.MERC_MAX_LAT), qt.MERC_MAX_LAT)
+    assert la0[0] - 1e-6 <= latc <= la1[0] + 1e-6
+
+
+@settings(max_examples=200, deadline=None)
+@given(lon_s, lat_s, depth_s, st.integers(min_value=0, max_value=20))
+def test_parent_is_prefix(lon, lat, depth, pdepth):
+    if pdepth > depth:
+        pdepth = depth
+    k = qt.point_to_cell(np.array([lon]), np.array([lat]), depth)
+    p = qt.cell_parent(k, pdepth)
+    assert qt.cell_depth(p)[0] == pdepth
+    assert qt.is_ancestor(p, k)[0]
+    # parent key <= child key (depth-first order)
+    assert p[0] <= k[0]
+
+
+@settings(max_examples=100, deadline=None)
+@given(lon_s, lat_s)
+def test_merc_roundtrip(lon, lat):
+    x, y = g.merc_forward(np.array([lon]), np.array([lat]))
+    lo, la = g.merc_inverse(x, y)
+    assert abs(lo[0] - lon) < 1e-9
+    latc = min(max(lat, -qt.MERC_MAX_LAT), qt.MERC_MAX_LAT)
+    assert abs(la[0] - latc) < 1e-7
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        ),
+        min_size=3,
+        max_size=12,
+    )
+)
+def test_wkb_roundtrip_any_ring(pts):
+    ring = np.array(pts, dtype=np.float64)
+    gt_, srid, rings = g.parse_wkb(g.wkb_polygon([ring]))
+    assert gt_ == 3 and srid == 3857
+    # closed on write; original points preserved
+    assert np.array_equal(rings[0][: len(ring)], ring)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.floats(min_value=-100, max_value=100, allow_nan=False),
+    st.floats(min_value=-100, max_value=100, allow_nan=False),
+    st.floats(min_value=0.001, max_value=50, allow_nan=False),
+    st.floats(min_value=0.001, max_value=50, allow_nan=False),
+    st.floats(min_value=-200, max_value=200, allow_nan=False),
+    st.floats(min_value=-200, max_value=200, allow_nan=False),
+)
+def test_pip_rect_half_open(x0, y0, w, h, px, py):
+    rect = np.array(
+        [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h]], dtype=np.float64
+    )
+    got = g.point_in_ring(np.array([px]), np.array([py]), rect)[0]
+    want = (x0 <= px < x0 + w) and (y0 <= py < y0 + h)
+    assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-1000, max_value=1000, allow_nan=False),
+            st.floats(min_value=-1000, max_value=1000, allow_nan=False),
+        ),
+        min_size=3,
+        max_size=20,
+    ),
+    st.floats(min_value=0.0, max_value=100, allow_nan=False),
+)
+def test_simplify_endpoints_and_subset(pts, tol):
+    line = np.array(pts, dtype=np.float64)
+    out = g.simplify_dp(line, tol)
+    assert np.array_equal(out[0], line[0]) and np.array_equal(out[-1], line[-1])
+    # output points are a subsequence of input points
+    i = 0
+    for p in out:
+        while i < len(line) and not np.array_equal(line[i], p):
+            i += 1
+        assert i < len(line)
