@@ -53,6 +53,8 @@ def main() -> None:
         lambda: stage_pages_parquet(spark, n_pages, pages_path, partitions=cpus * 4),
     )
     pages_df = spark.read.parquet(pages_path)
+    # warm python workers/codegen (a long-lived cluster pays this once)
+    pages_pipeline(pages_df.limit(20_000)).count()
     n_tiles = timed("pages_pipeline", lambda: pages_pipeline(pages_df).count())
     pages_per_sec = round(n_pages / timings["pages_pipeline"], 1)
 

@@ -35,8 +35,13 @@ class CheckpointedWriter:
         self.lineage_dir = f"{self.out_dir}/_lineage"
 
     def _bucket(self, df: DataFrame) -> DataFrame:
+        # xxhash64, not pmod(key, n): quadtree tile keys carry the
+        # depth in their LOW bits, so pmod over same-depth tiles is
+        # constant (everything in one bucket). xxhash64 is stable
+        # across runs/sessions -> deterministic resume.
         return df.withColumn(
-            "__bucket", F.pmod(F.col(self.bucket_key), F.lit(self.n_buckets))
+            "__bucket",
+            F.pmod(F.xxhash64(F.col(self.bucket_key)), F.lit(self.n_buckets)),
         )
 
     def completed_buckets(self, spark: SparkSession) -> list[int]:

@@ -34,6 +34,7 @@ __all__ = [
     "load_table",
     "documents_pipeline",
     "pages_pipeline",
+    "run_pages_checkpointed",
     "CELL_DEPTH",
     "TILE_DEPTH",
 ]
@@ -91,6 +92,25 @@ def documents_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tile", "poly_id")
     )
+
+
+def run_pages_checkpointed(
+    pages: DataFrame,
+    out_dir: str,
+    n_buckets: int = 64,
+    resume: bool = True,
+) -> dict:
+    """The resumable production entry point (BASELINE.json mandate —
+    the reference's single 6-hour transaction has no resume,
+    src/postgiswriter.cpp:1256): run the flagship pipeline and write
+    per-tile-bucket outputs + lineage via CheckpointedWriter. A killed
+    run re-invoked with resume=True anti-joins completed buckets and
+    only computes the remainder. Returns the writer's stats dict."""
+    from .checkpoint import CheckpointedWriter
+
+    tiles = pages_pipeline(pages)
+    w = CheckpointedWriter(out_dir, n_buckets=n_buckets, bucket_key="tile")
+    return w.write(tiles, resume=resume)
 
 
 def pages_pipeline(

@@ -36,7 +36,7 @@ def test_partial_failure_resume(spark, out_dir):
     df = _mk(spark)
     w = CheckpointedWriter(out_dir, n_buckets=8)
     # simulate a killed run: only buckets 0-3 completed
-    part = df.filter(F.pmod(F.col("tile"), F.lit(8)) < 4)
+    part = df.filter(F.pmod(F.xxhash64(F.col("tile")), F.lit(8)) < 4)
     w.write(part)
     assert sorted(w.completed_buckets(spark)) == [0, 1, 2, 3]
     r = w.write(df)  # resume with the full input
@@ -56,3 +56,44 @@ def test_rewrite_is_idempotent_not_duplicating(spark, out_dir):
     w.write(df, resume=False)
     w.write(df, resume=False)  # full rerun overwrites, never dupes
     assert w.read(spark).count() == 1000
+
+
+def test_flagship_checkpointed_resume(spark, tmp_path):
+    """End-to-end resumable flagship: partial run -> resume -> output
+    equals the direct pipeline result."""
+    from pyspark.sql import functions as F
+
+    from osmquadtreepostgis_spark.plans.checkpoint import CheckpointedWriter
+    from osmquadtreepostgis_spark.plans.pipeline import (
+        pages_pipeline,
+        run_pages_checkpointed,
+    )
+    from osmquadtreepostgis_spark.sources.pages import pages
+
+    out = str(tmp_path / "flag")
+    p = pages(spark, 2000, partitions=4)
+    # simulate a killed run: write only buckets 0-7 of 16
+    tiles = pages_pipeline(p)
+    w = CheckpointedWriter(out, n_buckets=16, bucket_key="tile")
+    w.write(tiles.filter(F.pmod(F.xxhash64(F.col("tile")), F.lit(16)) < 8))
+    done_before = set(w.completed_buckets(spark))
+    assert done_before and done_before <= set(range(8))
+    assert len(done_before) > 1  # buckets actually spread (hash, not pmod)
+    # resume the real job
+    stats = run_pages_checkpointed(p, out, n_buckets=16, resume=True)
+    assert stats["skipped_buckets"] == len(done_before)
+    got = (
+        w.read(spark)
+        .select("tile", "poly_id", "n_mentions")
+        .toPandas()
+        .sort_values(["tile", "poly_id"], ignore_index=True)
+    )
+    want = (
+        pages_pipeline(p)
+        .select("tile", "poly_id", "n_mentions")
+        .toPandas()
+        .sort_values(["tile", "poly_id"], ignore_index=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
