@@ -42,3 +42,9 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
         return
     sc.addPyFile(build_pyfiles_zip())
     setattr(sc, _FLAG, True)
+
+
+if __name__ == "__main__":
+    # `python -m osmquadtreepostgis_spark.deploy` prints the zip path
+    # to hand to spark-submit --py-files
+    print(build_pyfiles_zip())
