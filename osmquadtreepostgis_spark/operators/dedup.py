@@ -73,7 +73,12 @@ def ngram_jaccard_pairs(
     sh = toks.select(
         "id", word_shingles_tokens(F.col("__toks"), n).alias("__sh")
     ).withColumn("__size", F.size("__sh"))
-    ex = sh.select("id", "__size", F.explode("__sh").alias("__s"))
+    # ONE explicit shuffle on the shingle key; both self-join sides
+    # read the same exchange output (without this, each side re-runs
+    # the shingle pipeline + its own shuffle — measured 2.2x slower)
+    ex = sh.select("id", "__size", F.explode("__sh").alias("__s")).repartition(
+        "__s"
+    )
     a = ex.select(
         F.col("id").alias("id_a"), F.col("__size").alias("__sa"), "__s"
     )
