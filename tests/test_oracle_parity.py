@@ -72,3 +72,11 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert {"tile", "poly_id", "n_mentions"} <= set(df.columns)
+
+
+def test_contract_completeness():
+    """Every queries() entry must keep its oracle twin (a dropped
+    oracle silently downgrades the driver's check to rows-only)."""
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    assert set(qs) == set(osql), sorted(set(qs) ^ set(osql))
+    assert len(qs) >= 38
