@@ -734,7 +734,8 @@ def oracle_sql() -> dict[str, str]:
             FROM cells""",
         "tile_agg": f"""
             WITH {_DOCS_CTE}, {_CELLS_CTE}, {_ENC_CTE}
-            SELECT tile, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+            SELECT tile, count(*) AS n_docs,
+                   cast(sum(n_chars) as bigint) AS sum_chars,
                    count(distinct cell) AS n_cells
             FROM enc GROUP BY tile""",
         "pip_points_in_boxes": f"""
@@ -756,7 +757,8 @@ def oracle_sql() -> dict[str, str]:
                            {qt.sql_cell_parent(_PACK18, TILE_DEPTH)} AS tile
                     FROM cells),
             hits AS (SELECT d.*, p.poly_id FROM enc d JOIN {_BOXES} ON {_PIP_ON})
-            SELECT tile, poly_id, sum(n_occurrences) AS n_mentions,
+            SELECT tile, poly_id,
+                   cast(sum(n_occurrences) as bigint) AS n_mentions,
                    count(distinct doc_id) AS n_docs,
                    count(distinct entity) AS n_entities
             FROM hits GROUP BY tile, poly_id""",
@@ -851,7 +853,8 @@ def oracle_sql() -> dict[str, str]:
                        AS gap
               FROM events)
             SELECT user_id,
-                   sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                   cast(sum(CASE WHEN gap IS NULL OR gap > 1800
+                            THEN 1 ELSE 0 END) as bigint)
                      AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id""",
@@ -870,7 +873,8 @@ def oracle_sql() -> dict[str, str]:
                        AS gap
               FROM events)
             SELECT user_id,
-                   sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                   cast(sum(CASE WHEN gap IS NULL OR gap > 1800
+                            THEN 1 ELSE 0 END) as bigint)
                      AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id""",
@@ -985,7 +989,8 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
     sql["salted_tile_agg"] = f"""
         WITH {_DOCS_CTE}, {_CELLS_CTE}, {_ENC_CTE}
-        SELECT tile, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        SELECT tile, count(*) AS n_docs,
+               cast(sum(n_chars) as bigint) AS sum_chars
         FROM enc GROUP BY tile"""
     sql["overlay_pairs"] = f"""
         WITH b AS (SELECT * FROM {fixtures.sql_box_values('q')})

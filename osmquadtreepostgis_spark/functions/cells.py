@@ -31,6 +31,7 @@ __all__ = [
     "cell_cover_udf",
     "cell_neighbors_udf",
     "cell_parent_col",
+    "cell_tile_col",
     "cell_depth_col",
     "cell_encode_expr",
 ]
@@ -106,6 +107,18 @@ def cell_parent_col(key, depth: int) -> Column:
     aligned = F.shiftright(c, qt.DEPTH_BITS)
     parent = F.shiftleft(F.shiftright(aligned, keep), keep + qt.DEPTH_BITS)
     return parent.bitwiseOR(F.lit(depth))
+
+
+def cell_tile_col(key, depth: int) -> Column:
+    """Depth-guarded tile: ancestor at ``min(depth, cell_depth(key))``
+    — the Column twin of :func:`..quadtree.cell_tile`. A block key can
+    never be deeper than the object key it contains, so cells shallower
+    than ``depth`` (large objects from ``bbox_to_cell``) label their own
+    key; ``cell_parent(k, cell_depth(k)) == k`` makes that exact."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.when(
+        cell_depth_col(c) >= F.lit(depth), cell_parent_col(c, depth)
+    ).otherwise(c)
 
 
 def cell_depth_col(key) -> Column:

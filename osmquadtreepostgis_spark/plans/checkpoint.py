@@ -58,7 +58,6 @@ class CheckpointedWriter:
         """Write df bucketed + lineage; skips completed buckets when
         resuming. Returns {written_buckets, skipped_buckets, rows}."""
         spark = df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         b = self._bucket(df)
         done = set(self.completed_buckets(spark)) if resume else set()
         if done:
@@ -75,6 +74,10 @@ class CheckpointedWriter:
         (
             b.repartition("__bucket")
             .write.mode("overwrite")
+            # per-write dynamic overwrite (replace only touched buckets);
+            # scoped here so the session-wide overwrite semantics of
+            # later writers are untouched
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__bucket")
             .parquet(self.data_dir)
         )

@@ -72,9 +72,12 @@ def register_compat_views(
             )
             roads = roads.unionByName(b, allowMissingColumns=True)
         reg(f"{prefix}_roads", roads)
-    # lowzoom views: same tables filtered by minzoom (D2)
+    # lowzoom views: same tables filtered by minzoom (D2). Snapshot the
+    # base names first — iterating the live list would nest earlier
+    # cutoffs' views (planet_osm_line_lz6_lz10) when lowzoom=[6, 10].
+    base_names = list(names)
     for k in lowzoom or []:
-        for name in list(names):
+        for name in base_names:
             df = spark.table(name)
             if "minzoom" in df.columns:
                 reg(f"{name}_lz{k}", df.filter(F.col("minzoom") <= k))

@@ -299,9 +299,13 @@ def is_ancestor(anc, key) -> np.ndarray:
     anc = np.asarray(anc, dtype=np.int64)
     key = np.asarray(key, dtype=np.int64)
     d = cell_depth(anc)
+    kd = cell_depth(key)
     out = np.zeros(np.broadcast(anc, key).shape, dtype=bool)
     for dd in np.unique(d):
-        m = d == dd
+        # guard: cell_parent zero-pads when dd > depth(key), so a deeper
+        # all-NW descendant would compare equal with the relation
+        # inverted — only keys at least as deep as the ancestor qualify
+        m = (d == dd) & (kd >= dd)
         out |= m & (cell_parent(key, int(dd)) == anc)
     return out
 

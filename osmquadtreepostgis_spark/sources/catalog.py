@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import quadtree as qt
-from ..functions.cells import cell_parent_col
+from ..functions.cells import cell_tile_col
 
 __all__ = ["iceberg_available", "write_clustered", "read_cell_range", "read_bbox"]
 
@@ -46,8 +46,13 @@ def write_clustered(
     df: DataFrame, path: str, cell_col: str = "cell", partition_depth: int = PARTITION_DEPTH
 ) -> str:
     """Write partitioned by the coarse tile + sorted by cell id within
-    files (the quadtree-ordered block layout, src/processpostgis.cpp:143)."""
-    out = df.withColumn("__ptile", cell_parent_col(cell_col, partition_depth))
+    files (the quadtree-ordered block layout, src/processpostgis.cpp:143).
+
+    The partition label is the depth-GUARDED tile (min of cell depth and
+    partition depth) so cells shallower than ``partition_depth`` — large
+    objects, which ``bbox_to_cell`` legitimately produces — get their own
+    key as the label, matching what the read side computes."""
+    out = df.withColumn("__ptile", cell_tile_col(cell_col, partition_depth))
     (
         out.repartitionByRange("__ptile", cell_col)
         .sortWithinPartitions(cell_col)
@@ -113,5 +118,19 @@ def read_bbox(
             (1 << qt.DEPTH_BITS) - 1
         )
         c = (F.col("__ptile") == t) & (F.col(cell_col) >= lo) & (F.col(cell_col) <= hi)
+        conds = c if conds is None else (conds | c)
+    # Cells SHALLOWER than the cover depth (large objects: bbox_to_cell
+    # stops at the deepest cell containing the whole bbox) are never in
+    # a cover tile's subtree range — they precede it in depth-first
+    # order. Any depth-<cover cell intersecting the bbox is an ancestor
+    # of some cover tile, so the exact ancestor-key set completes the
+    # scan (the reference's get_locs includes the path tiles too,
+    # src/processpostgis.cpp:143).
+    anc = set()
+    for dd in range(PARTITION_DEPTH):
+        anc.update(qt.cell_parent(cover, dd).tolist())
+    if anc:
+        keys = sorted(anc)
+        c = F.col("__ptile").isin(keys) & F.col(cell_col).isin(keys)
         conds = c if conds is None else (conds | c)
     return df.filter(conds).drop("__ptile")

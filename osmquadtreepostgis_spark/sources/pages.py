@@ -43,8 +43,13 @@ _EPOCH = np.datetime64("2026-01-01T00:00:00")
 
 
 def _mix(i: np.ndarray, salt: int) -> np.ndarray:
-    """Deterministic positive int64 hash of row index (overflow-free)."""
-    return (i * 1103515245 + 12345 + salt * 2654435761) % 2147483648
+    """Deterministic positive int64 hash of row index.
+
+    ``i`` is reduced mod 2**31 before the multiply so the int64 product
+    can never overflow (max ~2**61), for any index up to the advertised
+    10**12-row variant. Identical values to the unreduced form for all
+    idx < 2**31 (every materialized fixture)."""
+    return ((i % 2147483648) * 1103515245 + 12345 + salt * 2654435761) % 2147483648
 
 
 def _round5_str(x: np.ndarray) -> np.ndarray:

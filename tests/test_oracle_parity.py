@@ -61,6 +61,13 @@ def test_query_matches_oracle(name, spark, ddb):
     g = _canon(got)
     w = _canon(want)
     assert len(g) == len(w), f"{name}: rows {len(g)} != {len(w)}"
+    # The driver's value-hash is dtype-sensitive (e.g. DuckDB types
+    # sum(INTEGER) as HUGEINT -> float64/object in pandas, while Spark
+    # returns int64) -- compare dtype kinds so that class of mismatch
+    # fails locally too, not just in CORRECTNESS_r{N}.json.
+    kinds_g = {c: g[c].dtype.kind for c in g.columns}
+    kinds_w = {c: w[c].dtype.kind for c in w.columns}
+    assert kinds_g == kinds_w, f"{name}: dtype kinds {kinds_g} != {kinds_w}"
     try:
         pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
     except AssertionError as e:

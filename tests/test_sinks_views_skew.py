@@ -137,3 +137,18 @@ def test_observe_metrics(spark):
     from osmquadtreepostgis_spark.plans.pipeline import documents_pipeline
 
     assert documents_pipeline(spark, SF).count() > 0
+
+
+def test_lowzoom_multiple_cutoffs_no_nesting(spark):
+    """lowzoom=[6, 10] must not register nested views like
+    planet_osm_line_lz6_lz10 (ADVICE r1, views.py:77)."""
+    from osmquadtreepostgis_spark.plans.views import register_compat_views
+
+    line = spark.range(5).select(
+        F.col("id").alias("osm_id"), (F.col("id") % 12).alias("minzoom")
+    )
+    names = register_compat_views(
+        spark, {"line": line}, prefix="tnest", lowzoom=[6, 10]
+    )
+    assert not [n for n in names if n.count("_lz") > 1], names
+    assert "tnest_line_lz6" in names and "tnest_line_lz10" in names
