@@ -180,6 +180,46 @@ def q_tag_pivot_residual(spark, sf):
     ).select("osm_id", "highway", "building", F.col("n_other").cast("long").alias("n_other"))
 
 
+def q_style_spec_routing(spark, sf):
+    """Style-driven spec construction end-to-end (the reference's
+    postgis_columns surface, __init__.py:39-131): build table specs
+    from a Style (catch-all mode: other_keys=None -> explicit extra
+    cols + residual hstore), route + pivot the elements through
+    apply_table_specs, and project the 'line' table's scalar columns.
+    Covers the Layer column source (try_cast(tags['layer'] as long),
+    src/postgiswriter.cpp:458-461) incl. its non-numeric->NULL path,
+    and the C++ tag_cols rule that the raw layer TAG stays in the
+    OtherTags residual."""
+    from osmquadtreepostgis_spark.plans.specs import (
+        Style,
+        apply_table_specs,
+        build_table_specs,
+    )
+
+    el = EL.elements_df(_docs(spark, sf))
+    style = Style(feature_keys=("highway", "building", "boundary"))
+    specs = build_table_specs(
+        style,
+        add_min_zoom=True,
+        extended=True,
+        extra_node_cols=["name", "layer"],
+        extra_way_cols=["name", "layer"],
+    )
+    tables = apply_table_specs(el, specs, extended=True)
+    line = tables["line"]
+    return line.select(
+        "osm_id",
+        "boundary",
+        "building",
+        "highway",
+        "name",
+        "layer",
+        "z_order",
+        "minzoom",
+        F.size("tags").cast("long").alias("n_other"),
+    )
+
+
 def q_zorder_minzoom(spark, sf):
     el = EL.elements_df(_docs(spark, sf))
     return el.select(
@@ -648,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routing_extended": _shipped(q_routing_extended),
         "tag_pivot_residual": _shipped(q_tag_pivot_residual),
         "zorder_minzoom": _shipped(q_zorder_minzoom),
+        "style_spec_routing": _shipped(q_style_spec_routing),
         "pyramid_counts": _shipped(q_pyramid_counts),
         "union_roads": _shipped(q_union_roads),
         "pricing_summary": _shipped(q_pricing_summary),
@@ -828,11 +869,27 @@ def oracle_sql() -> dict[str, str]:
                    cast((CASE WHEN type_tag IS NOT NULL THEN 1 ELSE 0 END)
                    + (CASE WHEN boundary IS NOT NULL THEN 1 ELSE 0 END)
                    + (CASE WHEN admin_level IS NOT NULL THEN 1 ELSE 0 END)
+                   + (CASE WHEN layer_tag IS NOT NULL THEN 1 ELSE 0 END)
                    + 1 as bigint) AS n_other
             FROM el""",
         "zorder_minzoom": f"""
             WITH el AS ({el})
             SELECT osm_id, {zo} AS z_order, {mz} AS minzoom FROM el""",
+        # line-table routing: linestring AND z_order IS NULL (extended
+        # alloc); pivoted tag cols sorted(way_cols - layer) =
+        # boundary, building, highway, name; layer = try_cast bigint;
+        # residual keys = {{type, admin_level, layer}}
+        "style_spec_routing": f"""
+            WITH el AS ({el})
+            SELECT osm_id, boundary, building, highway, name,
+                   try_cast(layer_tag as bigint) AS layer,
+                   {zo} AS z_order, {mz} AS minzoom,
+                   cast((CASE WHEN type_tag IS NOT NULL THEN 1 ELSE 0 END)
+                   + (CASE WHEN admin_level IS NOT NULL THEN 1 ELSE 0 END)
+                   + (CASE WHEN layer_tag IS NOT NULL THEN 1 ELSE 0 END)
+                     as bigint) AS n_other
+            FROM el
+            WHERE geom_type = 'linestring' AND {zo} IS NULL""",
         "pyramid_counts": f"""
             WITH {_DOCS_CTE}, {_CELLS_CTE}
             {' UNION ALL '.join(pyramid_arms)}""",

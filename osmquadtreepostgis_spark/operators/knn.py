@@ -195,10 +195,18 @@ def knn_grid_guaranteed(
     unresolved set — never a crossJoin of all points. Matches
     ``knn_exact`` exactly (same metric: euclidean lon/lat degrees,
     deterministic ties by point id)."""
-    p = points.withColumn("__cell", cell_encode_udf(depth)("lon", "lat"))
+    # cache the encoded points: every expansion round (and the
+    # exhaustive fallback) re-reads them, and the pandas-UDF encode is
+    # the expensive part of the probe join
+    p = points.withColumn("__cell", cell_encode_udf(depth)("lon", "lat")).cache()
     parts = []
     remaining = queries
     r = 1
+    # ONE lazy DAG, no driver-side actions between rounds: each round's
+    # unresolved set is an anti-join on the (cached) previous topk, and
+    # the exhaustive fallback always closes the plan — on fully
+    # resolved inputs it degenerates to a broadcast of zero query rows
+    # against the cached points, far cheaper than per-round isEmpty jobs
     for _ in range(max_rounds):
         probe = _ring_probe(remaining, depth, r, q_id)
         j = p.join(F.broadcast(probe), "__cell")
@@ -229,12 +237,12 @@ def knn_grid_guaranteed(
             topk.join(resolved, q_id, "semi").select(q_id, p_id, "dist2", "rank")
         )
         remaining = remaining.join(resolved, q_id, "anti")
-        if remaining.isEmpty():
-            remaining = None
-            break
         r *= 2
-    if remaining is not None and not remaining.isEmpty():
-        parts.append(knn_exact(remaining, points, k, q_id=q_id, p_id=p_id))
+    parts.append(
+        knn_exact(
+            remaining, p.drop("__cell"), k, q_id=q_id, p_id=p_id
+        )
+    )
     out = parts[0]
     for extra in parts[1:]:
         out = out.unionByName(extra)

@@ -33,6 +33,27 @@ class CheckpointedWriter:
         self.bucket_key = bucket_key
         self.data_dir = f"{self.out_dir}/data"
         self.lineage_dir = f"{self.out_dir}/_lineage"
+        self.errors_dir = f"{self.out_dir}/_errors"
+
+    def _quarantine(self, df: DataFrame, geom_col: str) -> DataFrame:
+        """Split invalid-geometry rows to the error table (the
+        reference's mperrorvec, src/processpostgis.cpp:121,140-141:
+        rows GEOS cannot make valid are handed back, never silently
+        loaded). Errors land in ``_errors/`` with a reason code; the
+        returned frame carries only valid rows."""
+        from ..functions.geometry import wkb_is_valid_udf
+
+        flagged = df.withColumn("__valid", wkb_is_valid_udf(F.col(geom_col)))
+        errors = (
+            flagged.filter(~F.col("__valid"))
+            .drop("__valid")
+            .withColumn("reason", F.lit("invalid_geometry"))
+        )
+        errors.write.mode("append").parquet(self.errors_dir)
+        return flagged.filter(F.col("__valid")).drop("__valid")
+
+    def errors(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.errors_dir)
 
     def _bucket(self, df: DataFrame) -> DataFrame:
         # xxhash64, not pmod(key, n): quadtree tile keys carry the
@@ -54,10 +75,16 @@ class CheckpointedWriter:
     def lineage(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.lineage_dir)
 
-    def write(self, df: DataFrame, resume: bool = True) -> dict:
+    def write(
+        self, df: DataFrame, resume: bool = True, validate_geom_col: str | None = None
+    ) -> dict:
         """Write df bucketed + lineage; skips completed buckets when
-        resuming. Returns {written_buckets, skipped_buckets, rows}."""
+        resuming. With ``validate_geom_col`` set, invalid-geometry rows
+        are quarantined to the error table first (mperrorvec analog).
+        Returns {written_buckets, skipped_buckets, rows}."""
         spark = df.sparkSession
+        if validate_geom_col is not None:
+            df = self._quarantine(df, validate_geom_col)
         b = self._bucket(df)
         done = set(self.completed_buckets(spark)) if resume else set()
         if done:

@@ -27,6 +27,12 @@ def elements_df(docs: DataFrame) -> DataFrame:
     )
     building = F.when(d % 7 == 0, F.lit("yes")).when(d % 7 == 1, F.lit("no"))
     is_boundary = d % 5 == 0
+    # layer tag on every 3rd element; every 21st is non-numeric so the
+    # Layer column source's try_cast-to-long path is exercised
+    layer = F.when(
+        d % 3 == 0,
+        F.when(d % 21 == 0, F.lit("x")).otherwise(((d % 11) - 5).cast("string")),
+    )
     tags = F.map_filter(
         F.create_map(
             F.lit("highway"), highway,
@@ -35,6 +41,7 @@ def elements_df(docs: DataFrame) -> DataFrame:
             F.lit("boundary"), F.when(is_boundary, F.lit("administrative")),
             F.lit("admin_level"), F.when(is_boundary, (2 + d % 9).cast("string")),
             F.lit("name"), F.concat(F.lit("el"), d.cast("string")),
+            F.lit("layer"), layer,
         ),
         lambda k, v: v.isNotNull(),
     )
@@ -91,6 +98,9 @@ def sql_elements_cte() -> str:
           CASE WHEN doc_id % 5 = 0
                THEN cast(2 + doc_id % 9 as varchar) END AS admin_level,
           'el' || cast(doc_id as varchar) AS name,
+          CASE WHEN doc_id % 3 = 0 THEN
+            (CASE WHEN doc_id % 21 = 0 THEN 'x'
+                  ELSE cast(doc_id % 11 - 5 as varchar) END) END AS layer_tag,
           (doc_id % 2000) * 1e7 AS way_area
         FROM documents
     """

@@ -16,12 +16,16 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
     "write_tables_parquet",
     "write_tables_csv_gz",
+    "write_tables_copy_text",
+    "write_tables_jdbc",
+    "hstore_literal",
+    "copy_text_row",
     "dry_run_counts",
     "foreach_batch_sink",
 ]
@@ -75,6 +79,112 @@ def write_tables_csv_gz(
         )
         paths[t] = path
     return paths
+
+
+def hstore_literal(m) -> Column:
+    """PostgreSQL hstore TEXT literal from a map column (F4, the
+    reference's pack_hstoretags at src/postgiswriter.cpp:404; the
+    packer body lives in its oqt dependency, so the byte format here is
+    the documented PG hstore text representation):
+    ``"k"=>"v", "k2"=>"v2"`` with ``\\`` and ``"`` backslash-escaped
+    inside the quotes. Entries sorted by key for determinism (hstore is
+    unordered; COPY round-trips either way). Pure-Column — higher-order
+    transform + aggregate, no Python."""
+    m = F.col(m) if isinstance(m, str) else m
+
+    def esc(c):
+        return F.regexp_replace(
+            F.regexp_replace(c, r"\\", r"\\\\"), '"', r'\\"'
+        )
+
+    ent = F.transform(
+        F.sort_array(F.map_entries(m)),
+        lambda e: F.concat(
+            F.lit('"'), esc(e["key"]), F.lit('"=>"'), esc(e["value"]), F.lit('"')
+        ),
+    )
+    return F.array_join(ent, ", ")
+
+
+def _copy_text_value(c: Column, type_name: str) -> Column:
+    """One value in PostgreSQL COPY TEXT format: strings get the COPY
+    backslash escapes (backslash, tab, newline, CR), bytea is \\x hex
+    (the leading backslash itself escaped on the wire), hstore maps go
+    through hstore_literal then string escaping. NULL handled by the
+    caller (\\N)."""
+    if type_name == "binary":
+        return F.concat(F.lit(r"\\x"), F.lower(F.hex(c)))
+    if type_name == "map":
+        c = hstore_literal(c)
+    elif type_name != "string":
+        return c.cast("string")
+    s = F.regexp_replace(c, r"\\", r"\\\\")
+    s = F.regexp_replace(s, "\t", r"\\t")
+    s = F.regexp_replace(s, "\n", r"\\n")
+    s = F.regexp_replace(s, "\r", r"\\r")
+    return s
+
+
+def copy_text_row(df: DataFrame) -> Column:
+    """Whole row as one PostgreSQL COPY TEXT line (tab-delimited,
+    ``\\N`` for NULL) — byte-compatible with ``COPY tbl FROM ... WITH
+    (FORMAT text)``, the reference's load path
+    (src/postgiswriter.cpp:1193-1328)."""
+    parts = [
+        F.coalesce(
+            _copy_text_value(F.col(f.name), f.dataType.typeName()), F.lit(r"\N")
+        )
+        for f in df.schema.fields
+    ]
+    return F.concat_ws("\t", *parts)
+
+
+def write_tables_copy_text(
+    routed: DataFrame, out_dir: str, table_col: str = "table"
+) -> dict[str, str]:
+    """One gzip COPY-text file tree per routed table — pipe into
+    ``COPY <t> FROM PROGRAM 'zcat …' WITH (FORMAT text)`` for an actual
+    PostGIS load without a JDBC driver in the cluster."""
+    paths = {}
+    for t, df in _split_by_table(routed, table_col):
+        path = f"{out_dir.rstrip('/')}/{t}.copy"
+        (
+            df.select(copy_text_row(df).alias("value"))
+            .write.mode("overwrite")
+            .option("compression", "gzip")
+            .text(path)
+        )
+        paths[t] = path
+    return paths
+
+
+def write_tables_jdbc(
+    routed: DataFrame,
+    url: str,
+    table_prefix: str = "planet_osm_",
+    mode: str = "append",
+    properties: dict | None = None,
+    table_col: str = "table",
+) -> list[str]:
+    """Optional direct JDBC/PostGIS sink (S3). Parquet stays the
+    primary target; this exists for parity with the reference's named
+    capability — load into an actual PostGIS. Requires the PostgreSQL
+    JDBC driver on the Spark classpath (absent in this environment —
+    exercised only when a user supplies it). Map columns are packed as
+    hstore text literals so a ``text``/``hstore`` DDL accepts them."""
+    written = []
+    for t, df in _split_by_table(routed, table_col):
+        cols = []
+        for f in df.schema.fields:
+            c = F.col(f.name)
+            if f.dataType.typeName() == "map":
+                c = hstore_literal(c)
+            cols.append(c.alias(f.name))
+        df.select(cols).write.jdbc(
+            url, f"{table_prefix}{t}", mode=mode, properties=properties or {}
+        )
+        written.append(f"{table_prefix}{t}")
+    return written
 
 
 def dry_run_counts(routed: DataFrame, table_col: str = "table") -> DataFrame:

@@ -97,3 +97,32 @@ def test_flagship_checkpointed_resume(spark, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_invalid_geometry_quarantined(spark, tmp_path):
+    """A bowtie polygon lands in the error table with a reason code;
+    only valid rows reach the data dir (the reference's mperrorvec,
+    src/processpostgis.cpp:121,140-141)."""
+    import numpy as np
+
+    from osmquadtreepostgis_spark import geom as g
+
+    square = g.wkb_polygon(
+        [np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)]
+    )
+    bowtie = g.wkb_polygon(
+        [np.array([[0, 0], [10, 10], [10, 0], [0, 10], [0, 0]], float)]
+    )
+    df = spark.createDataFrame(
+        [(1, 100, bytearray(square)), (2, 200, bytearray(bowtie))],
+        "osm_id long, tile long, way binary",
+    )
+    w = CheckpointedWriter(str(tmp_path / "q"), n_buckets=4)
+    res = w.write(df, validate_geom_col="way")
+    assert res["rows"] == 1
+    errs = w.errors(spark).collect()
+    assert len(errs) == 1
+    assert errs[0]["osm_id"] == 2
+    assert errs[0]["reason"] == "invalid_geometry"
+    kept = w.read(spark).collect()
+    assert [r["osm_id"] for r in kept] == [1]
