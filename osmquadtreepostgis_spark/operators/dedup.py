@@ -97,31 +97,37 @@ def ngram_jaccard_pairs(
     wdf = Window.partitionBy("__s")
     exdf = ex.withColumn("__df", F.count(F.lit(1)).over(wdf))
     # rank within doc by (df asc, shingle asc) = the global order;
-    # prefix = first |X| - ceil(t|X|) + 1 shingles
+    # prefix = first |X| - ceil(t|X|) + 1 shingles. The groupBy(id)
+    # reuses the rank window's id-partitioning (no extra exchange), and
+    # collect_list skips nulls, so ONE aggregation gathers both the
+    # prefix and the full shingle array — no join back to the source
+    # (which would broadcast/shuffle the whole table again).
     wdoc = Window.partitionBy("id").orderBy(F.col("__df").asc(), F.col("__s").asc())
     plen = F.col("__size") - F.ceil(F.lit(threshold) * F.col("__size")) + 1
     pref = (
         exdf.withColumn("__rk", F.row_number().over(wdoc))
-        .filter(F.col("__rk") <= plen)
         .groupBy("id", "__size")
-        .agg(F.sort_array(F.collect_list("__s")).alias("__pref"))
-        .join(sh.select("id", "__sh"), "id")
-        .select(
-            "id",
-            "__size",
-            "__pref",
-            F.col("__sh").alias("__shfull"),
-            F.explode("__pref").alias("__s"),
+        .agg(
+            F.collect_list(
+                F.when(F.col("__rk") <= plen, F.col("__s"))
+            ).alias("__pref"),
+            F.collect_list("__s").alias("__shfull"),
         )
+        .select("id", "__size", "__pref", "__shfull", F.explode("__pref").alias("__s"))
     )
-    a = pref.select(
+    # ONE explicit shuffle on the shingle key, MATERIALIZED once:
+    # collect_list is non-deterministic to Catalyst, which defeats
+    # ReuseExchange, so without the cache each self-join side re-runs
+    # the whole df+rank pipeline (measured 2x the exchanges)
+    prefex = pref.repartition("__s").cache()
+    a = prefex.select(
         F.col("id").alias("id_a"),
         F.col("__size").alias("__sa"),
         F.col("__pref").alias("__pa"),
         F.col("__shfull").alias("__fa"),
         "__s",
     )
-    b = pref.select(
+    b = prefex.select(
         F.col("id").alias("id_b"),
         F.col("__size").alias("__sb"),
         F.col("__pref").alias("__pb"),

@@ -21,12 +21,15 @@ Everything is pure-Column; the explode is the only row-multiplying op.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
     "route_default",
     "route_extended",
+    "resolve_alloc",
+    "routing_udf",
     "explode_routes",
     "pivot_tags",
     "other_tags",
@@ -102,6 +105,54 @@ def route_extended(geom_type: Column, tags: Column, z_order: Column) -> Column:
             .otherwise(F.array(F.lit("polygon")))
         )
     )
+
+
+def routing_udf(fn):
+    """Wrap a user row-level routing callback ``fn(geom_type: str,
+    tags: dict) -> list[str]`` into an Arrow-batched pandas UDF — the
+    Spark twin of the reference's pybind alloc_func hook
+    (src/postgis_python.cpp:287-294: an arbitrary Python callable per
+    element). Batched transfer, per-row user code — exactly the
+    contract the reference gives its callback. Prefer a Column-valued
+    alloc (see resolve_alloc) when the rule is expressible in SQL."""
+
+    @F.pandas_udf("array<string>")
+    def _route(geom_type: pd.Series, tags: pd.Series) -> pd.Series:
+        return pd.Series(
+            [fn(g, dict(t) if t is not None else {}) for g, t in zip(geom_type, tags)]
+        )
+
+    return _route
+
+
+def resolve_alloc(alloc):
+    """The reference's set_params_alloc_func contract
+    (src/postgis_python.cpp:271-296), Spark-shaped. Returns a factory
+    ``(geom_type_col, tags_col, z_order_col) -> array<string> Column``:
+
+    * None or "default"  -> route_default
+    * "extended"         -> route_extended
+    * a callable taking (geom_type, tags, z_order) Columns -> used
+      as-is (the fast, JVM-side hook)
+    * any other callable -> treated as a row-level Python callback
+      ``fn(geom_type, tags_dict) -> list[str]`` via routing_udf
+    """
+    if alloc is None or alloc == "default":
+        return lambda g, t, z: route_default(g)
+    if alloc == "extended":
+        return lambda g, t, z: route_extended(g, t, z)
+    if callable(alloc):
+        try:
+            import inspect
+
+            n_params = len(inspect.signature(alloc).parameters)
+        except (TypeError, ValueError):
+            n_params = 2
+        if n_params >= 3:
+            return lambda g, t, z: alloc(g, t, z)
+        udf = routing_udf(alloc)
+        return lambda g, t, z: udf(g, t)
+    raise ValueError(f"can't resolve alloc func: {alloc!r}")
 
 
 def explode_routes(df: DataFrame, routes: Column) -> DataFrame:

@@ -43,8 +43,7 @@ from ..operators.routing import (
     explode_routes,
     minzoom_col,
     other_tags,
-    route_default,
-    route_extended,
+    resolve_alloc,
     signed_osm_id,
     z_order_col,
 )
@@ -273,21 +272,26 @@ def apply_table_specs(
     specs: dict[str, TableSpec],
     extended: bool = True,
     providers: dict[str, Column] | None = None,
+    alloc=None,
 ) -> dict[str, DataFrame]:
     """Route elements (alloc_func) and project each target table per
     its spec. ``providers`` maps a ColumnSource name to a Column for
     sources the elements frame carries (quadtree/geometry/length …).
+    ``alloc`` is the pluggable alloc_func hook (reference:
+    src/postgis_python.cpp:271-296): None/"default"/"extended", a
+    Column-valued callable (geom_type, tags, z_order) -> array<string>,
+    or a row-level Python callback (fn(geom_type, tags_dict) ->
+    list[str], Arrow-batched). When None, ``extended`` picks between
+    the two built-ins.
 
     Input contract: elements has (osm_id, geom_type, tags, way_area)
     [+ whatever the providers read]. One explode is the only
     row-multiplying op; everything else is pure-Column."""
     providers = providers or {}
     z = z_order_col(F.col("tags"))
-    routes = (
-        route_extended(F.col("geom_type"), F.col("tags"), z)
-        if extended
-        else route_default(F.col("geom_type"))
-    )
+    if alloc is None:
+        alloc = "extended" if extended else "default"
+    routes = resolve_alloc(alloc)(F.col("geom_type"), F.col("tags"), z)
     routed = explode_routes(elements, routes)
     out: dict[str, DataFrame] = {}
     for name, spec in specs.items():

@@ -79,3 +79,72 @@ def test_write_tables_copy_text_roundtrip(spark, tmp_path):
     got = sorted(ln.split("\t") for ln in lines)
     assert got[0][0] == "1" and _copy_unescape(got[0][1]) == "name\twith tab"
     assert got[1] == ["2", "\\N", "\\N"]
+
+
+def test_copy_binary_roundtrip(spark):
+    """PGCOPY binary stream (F5/F7): signature, big-endian length
+    prefixes, NULLs, hstore send format — parsed back exactly."""
+    from osmquadtreepostgis_spark.sources.copy_binary import (
+        PGCOPY_SIGNATURE,
+        copy_binary_blocks,
+        parse_copy_binary,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 2.5, "txt", bytearray(b"\x00\xff"), {"a": "1", "b": None}),
+            (2, None, None, None, None),
+        ],
+        "id long, x double, s string, b binary, m map<string,string>",
+    ).coalesce(1)
+    blocks = copy_binary_blocks(df).collect()
+    assert len(blocks) == 1 and blocks[0]["n_rows"] == 2
+    raw = bytes(blocks[0]["block"])
+    assert raw.startswith(PGCOPY_SIGNATURE)
+    rows = parse_copy_binary(raw, ["long", "double", "string", "binary", "map"])
+    assert rows[0] == (1, 2.5, "txt", b"\x00\xff", {"a": "1", "b": None})
+    assert rows[1] == (2, None, None, None, None)
+
+
+def test_compact_and_analyze(spark, tmp_path):
+    """D5 analog: compaction shrinks the file count preserving rows +
+    order layout; analyze returns one-pass per-column stats."""
+    import numpy as np
+    import pandas as pd
+
+    from osmquadtreepostgis_spark.functions.cells import cell_encode_udf
+    from osmquadtreepostgis_spark.sources.maintenance import (
+        analyze_table,
+        compact_table,
+    )
+
+    rng = np.random.default_rng(3)
+    path = str(tmp_path / "t")
+    # fragmented table: 5 incremental appends, each clustered write
+    # leaves its own small file per partition dir (the accumulation
+    # pattern VACUUM exists for)
+    from osmquadtreepostgis_spark.functions.cells import cell_tile_col
+
+    for i in range(5):
+        pdf = pd.DataFrame(
+            {
+                "pt_id": np.arange(i * 1000, (i + 1) * 1000),
+                # one small region -> few partition dirs, many files each
+                "lon": rng.uniform(5, 15, 1000),
+                "lat": rng.uniform(45, 55, 1000),
+            }
+        )
+        df = spark.createDataFrame(pdf).withColumn(
+            "cell", cell_encode_udf(18)("lon", "lat")
+        ).withColumn("__ptile", cell_tile_col("cell", 4))
+        df.write.mode("append").partitionBy("__ptile").parquet(path)
+    res = compact_table(spark, path, target_rows_per_file=5000)
+    assert res["rows"] == 5000
+    assert res["files_after"] < res["files_before"]
+    back = spark.read.parquet(path)
+    assert back.count() == 5000
+    stats = {r["column"]: r for r in analyze_table(back.drop("__ptile"))}
+    assert stats["pt_id"]["n_rows"] == 5000
+    assert stats["pt_id"]["n_nulls"] == 0
+    assert int(stats["pt_id"]["min"]) == 0 and int(stats["pt_id"]["max"]) == 4999
+    assert abs(stats["pt_id"]["approx_distinct"] - 5000) / 5000 < 0.15

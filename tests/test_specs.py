@@ -128,3 +128,37 @@ def test_apply_routing_matches_alloc(routed_tables):
     # every routed table projects exactly its spec schema
     for name, df in tables.items():
         assert df.columns == [c.name for c in specs[name].columns]
+
+
+def test_pluggable_alloc_func(spark):
+    """The alloc_func hook accepts a Column-valued rule AND a row-level
+    Python callback (src/postgis_python.cpp:271-296), and both override
+    the built-ins end-to-end through apply_table_specs."""
+    from osmquadtreepostgis_spark.plans.elements import elements_df
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    el = elements_df(docs.limit(200))
+    style = Style(feature_keys=("highway",), other_keys=("name",))
+    specs = build_table_specs(style, extended=False)
+
+    # Column-valued hook: everything to 'line'
+    col_alloc = lambda g, t, z: F.array(F.lit("line"))  # noqa: E731
+    t1 = apply_table_specs(el, specs, extended=False, alloc=col_alloc)
+    n = el.count()
+    assert t1["line"].count() == n and t1["point"].count() == 0
+
+    # row-level Python callback: route by a custom tag rule
+    def my_alloc(geom_type, tags):
+        if tags.get("building") == "yes":
+            return ["polygon"]
+        return ["point"]
+
+    t2 = apply_table_specs(el, specs, extended=False, alloc=my_alloc)
+    assert t2["polygon"].count() == el.filter(
+        F.element_at("tags", "building") == "yes"
+    ).count()
+    assert t2["line"].count() == 0
+
+    # string forms still resolve
+    t3 = apply_table_specs(el, specs, extended=False, alloc="default")
+    assert t3["point"].count() == el.filter(F.col("geom_type") == "point").count()
