@@ -29,6 +29,7 @@ __all__ = [
     "wkb_boundary_udf",
     "wkb_simplify_udf",
     "wkb_is_valid_udf",
+    "wkb_make_valid_udf",
     "wkb_parts_udf",
     "bbox_to_wkb_udf",
     "hex_col",
@@ -160,6 +161,62 @@ def wkb_is_valid_udf(way: pd.Series) -> pd.Series:
         return True
 
     return pd.Series(_for_each_wkb(way, valid), dtype="boolean")
+
+
+@F.pandas_udf(T.BinaryType())
+def wkb_make_valid_udf(way: pd.Series) -> pd.Series:
+    """Self-intersection repair (the GEOS buffer(0) step the reference
+    applies to every polygon, src/validategeoms.cpp:64-82): each
+    non-simple outer ring is untwisted into simple sub-rings
+    (geom.repair_ring), holes follow the sub-ring that contains them,
+    orientation is normalized, and the result is re-packed (a repaired
+    bowtie becomes a 2-part multipolygon). Valid input passes through
+    byte-identical; anything unrepairable returns NULL (callers
+    quarantine it — the mperrorvec path)."""
+
+    def mk(gt, payload):
+        if gt == 3:
+            polys = [payload]
+        elif gt == 6:
+            polys = payload
+        else:
+            return None  # only (multi)polygons are repaired
+
+        all_valid = all(
+            len(r) > 400 or g.ring_is_simple(r) for poly in polys for r in poly
+        )
+        out_polys = []
+        for rings in polys:
+            outer, holes = rings[0], rings[1:]
+            if len(outer) <= 400 and not g.ring_is_simple(outer):
+                pieces = g.repair_ring(outer)
+                if pieces is None:
+                    return None
+            else:
+                pieces = [outer]
+            # holes must themselves be simple to keep
+            for h in holes:
+                if len(h) <= 400 and not g.ring_is_simple(h):
+                    return None
+            for piece in pieces:
+                mine = [
+                    h
+                    for h in holes
+                    if g.point_in_ring(
+                        np.array([h[0][0]]), np.array([h[0][1]]), piece
+                    )[0]
+                ]
+                out_polys.append(g.normalize_ring_orientation([piece] + mine))
+        if not out_polys:
+            return None
+        if all_valid:
+            # pass-through: keep the original bytes when nothing changed
+            return g.wkb_polygon(polys[0]) if gt == 3 else g.wkb_multipolygon(polys)
+        if len(out_polys) == 1 and gt == 3:
+            return g.wkb_polygon(out_polys[0])
+        return g.wkb_multipolygon(out_polys)
+
+    return pd.Series(_for_each_wkb(way, mk))
 
 
 @F.pandas_udf(T.ArrayType(T.BinaryType()))

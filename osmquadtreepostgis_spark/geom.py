@@ -411,3 +411,84 @@ def _segs_intersect(a, b, c, d) -> bool:
     if o1 != o2 and o3 != o4:
         return True
     return False
+
+
+def _seg_intersection_point(a, b, c, d):
+    """Proper intersection point of segments ab and cd, or None."""
+    r = b - a
+    s = d - c
+    denom = r[0] * s[1] - r[1] * s[0]
+    if denom == 0:
+        return None
+    t = ((c[0] - a[0]) * s[1] - (c[1] - a[1]) * s[0]) / denom
+    u = ((c[0] - a[0]) * r[1] - (c[1] - a[1]) * r[0]) / denom
+    if 0 < t < 1 and 0 < u < 1:
+        return a + t * r
+    return None
+
+
+def repair_ring(ring: np.ndarray) -> list[np.ndarray] | None:
+    """Split a self-intersecting ring into simple rings — the GEOS
+    ``buffer(0)`` repair (src/validategeoms.cpp:64-82) for the
+    node-crossing class (bowties, figure-eights).
+
+    Method: insert every proper pairwise segment intersection as a
+    vertex (snapped to 1e-9 so both crossing segments agree on the
+    node), then walk the closed vertex sequence extracting a loop each
+    time a node repeats (the classic untwisting traversal). Degenerate
+    loops (area ~ 0) are dropped. Returns the simple sub-rings, or
+    None when the result still isn't simple (caller quarantines —
+    flag-only behavior is the fallback, never silence)."""
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) and (r[0] == r[-1]).all():
+        r = r[:-1]
+    n = len(r)
+    if n < 3:
+        return None
+    segs = [(r[i], r[(i + 1) % n]) for i in range(n)]
+    inserts: list[list[tuple[float, np.ndarray]]] = [[] for _ in range(n)]
+    for i in range(n):
+        a, b = segs[i]
+        for j in range(i + 1, n):
+            if j == i + 1 or (i == 0 and j == n - 1):
+                continue  # adjacent
+            c, d = segs[j]
+            pt = _seg_intersection_point(a, b, c, d)
+            if pt is not None:
+                ti = np.dot(pt - a, b - a) / max(np.dot(b - a, b - a), 1e-300)
+                tj = np.dot(pt - c, d - c) / max(np.dot(d - c, d - c), 1e-300)
+                inserts[i].append((ti, pt))
+                inserts[j].append((tj, pt))
+    walk: list[tuple[float, float]] = []
+    for i in range(n):
+        walk.append((round(float(r[i][0]), 9), round(float(r[i][1]), 9)))
+        for _, pt in sorted(inserts[i], key=lambda x: x[0]):
+            walk.append((round(float(pt[0]), 9), round(float(pt[1]), 9)))
+    # untwisting traversal: pop a loop whenever a node repeats
+    out: list[np.ndarray] = []
+    path: list[tuple[float, float]] = []
+    pos: dict[tuple[float, float], int] = {}
+    for v in walk + [walk[0]]:
+        if v in pos:
+            start = pos[v]
+            loop = path[start:]
+            if len(loop) >= 3:
+                arr = np.array(loop + [loop[0]], dtype=np.float64)
+                area = ring_area(arr, np.array([0, len(arr) - 1]))[0]
+                if abs(area) > 1e-12:
+                    out.append(arr[:-1])
+            for w in path[start:]:
+                pos.pop(w, None)
+            path = path[:start]
+            if v not in pos:
+                pos[v] = len(path)
+            path.append(v)
+        else:
+            pos[v] = len(path)
+            path.append(v)
+    if not out:
+        return None
+    for loop in out:
+        if not ring_is_simple(loop):
+            return None
+    return out

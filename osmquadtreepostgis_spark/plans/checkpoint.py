@@ -35,22 +35,37 @@ class CheckpointedWriter:
         self.lineage_dir = f"{self.out_dir}/_lineage"
         self.errors_dir = f"{self.out_dir}/_errors"
 
-    def _quarantine(self, df: DataFrame, geom_col: str) -> DataFrame:
-        """Split invalid-geometry rows to the error table (the
-        reference's mperrorvec, src/processpostgis.cpp:121,140-141:
-        rows GEOS cannot make valid are handed back, never silently
-        loaded). Errors land in ``_errors/`` with a reason code; the
-        returned frame carries only valid rows."""
-        from ..functions.geometry import wkb_is_valid_udf
+    def _quarantine(
+        self, df: DataFrame, geom_col: str, repair: bool = True
+    ) -> DataFrame:
+        """Repair-then-quarantine, the reference's exact sequence
+        (validategeoms.cpp:64-82 buffer(0) repair inside the writer;
+        unfixable rows surface through mperrorvec,
+        src/processpostgis.cpp:121,140-141 — never silently loaded).
+        With ``repair``, non-simple polygons are first untwisted by
+        wkb_make_valid_udf; rows it cannot fix land in ``_errors/``
+        with a reason code. The returned frame carries only valid
+        geometry."""
+        from ..functions.geometry import wkb_is_valid_udf, wkb_make_valid_udf
 
         flagged = df.withColumn("__valid", wkb_is_valid_udf(F.col(geom_col)))
+        if repair:
+            flagged = flagged.withColumn(
+                geom_col,
+                F.when(F.col("__valid"), F.col(geom_col)).otherwise(
+                    wkb_make_valid_udf(F.col(geom_col))
+                ),
+            )
+            good = F.col(geom_col).isNotNull()
+            reason = F.lit("invalid_geometry_unrepairable")
+        else:
+            good = F.col("__valid")
+            reason = F.lit("invalid_geometry")
         errors = (
-            flagged.filter(~F.col("__valid"))
-            .drop("__valid")
-            .withColumn("reason", F.lit("invalid_geometry"))
+            flagged.filter(~good).drop("__valid").withColumn("reason", reason)
         )
         errors.write.mode("append").parquet(self.errors_dir)
-        return flagged.filter(F.col("__valid")).drop("__valid")
+        return flagged.filter(good).drop("__valid")
 
     def errors(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.errors_dir)
@@ -76,15 +91,20 @@ class CheckpointedWriter:
         return spark.read.parquet(self.lineage_dir)
 
     def write(
-        self, df: DataFrame, resume: bool = True, validate_geom_col: str | None = None
+        self,
+        df: DataFrame,
+        resume: bool = True,
+        validate_geom_col: str | None = None,
+        repair: bool = True,
     ) -> dict:
         """Write df bucketed + lineage; skips completed buckets when
-        resuming. With ``validate_geom_col`` set, invalid-geometry rows
-        are quarantined to the error table first (mperrorvec analog).
+        resuming. With ``validate_geom_col`` set, invalid geometries
+        are repaired (buffer(0) analog) and the unrepairable rows
+        quarantined to the error table (mperrorvec analog).
         Returns {written_buckets, skipped_buckets, rows}."""
         spark = df.sparkSession
         if validate_geom_col is not None:
-            df = self._quarantine(df, validate_geom_col)
+            df = self._quarantine(df, validate_geom_col, repair=repair)
         b = self._bucket(df)
         done = set(self.completed_buckets(spark)) if resume else set()
         if done:

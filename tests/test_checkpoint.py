@@ -100,9 +100,9 @@ def test_flagship_checkpointed_resume(spark, tmp_path):
 
 
 def test_invalid_geometry_quarantined(spark, tmp_path):
-    """A bowtie polygon lands in the error table with a reason code;
-    only valid rows reach the data dir (the reference's mperrorvec,
-    src/processpostgis.cpp:121,140-141)."""
+    """Flag-only mode: a bowtie polygon lands in the error table with a
+    reason code; only valid rows reach the data dir (the reference's
+    mperrorvec, src/processpostgis.cpp:121,140-141)."""
     import numpy as np
 
     from osmquadtreepostgis_spark import geom as g
@@ -118,7 +118,7 @@ def test_invalid_geometry_quarantined(spark, tmp_path):
         "osm_id long, tile long, way binary",
     )
     w = CheckpointedWriter(str(tmp_path / "q"), n_buckets=4)
-    res = w.write(df, validate_geom_col="way")
+    res = w.write(df, validate_geom_col="way", repair=False)
     assert res["rows"] == 1
     errs = w.errors(spark).collect()
     assert len(errs) == 1
@@ -126,3 +126,53 @@ def test_invalid_geometry_quarantined(spark, tmp_path):
     assert errs[0]["reason"] == "invalid_geometry"
     kept = w.read(spark).collect()
     assert [r["osm_id"] for r in kept] == [1]
+
+
+def test_invalid_geometry_repaired_or_quarantined(spark, tmp_path):
+    """Repair mode (default, the buffer(0) analog): the bowtie is
+    untwisted into a 2-part multipolygon with the same total area and
+    kept; a polygon with a non-simple HOLE is unrepairable and goes to
+    the error table."""
+    import numpy as np
+
+    from osmquadtreepostgis_spark import geom as g
+
+    bowtie = g.wkb_polygon(
+        [np.array([[0, 0], [10, 10], [10, 0], [0, 10], [0, 0]], float)]
+    )
+    bad_hole = g.wkb_polygon(
+        [
+            np.array([[0, 0], [100, 0], [100, 100], [0, 100], [0, 0]], float),
+            np.array([[10, 10], [30, 30], [30, 10], [10, 30], [10, 10]], float),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, 100, bytearray(bowtie)), (2, 200, bytearray(bad_hole))],
+        "osm_id long, tile long, way binary",
+    )
+    w = CheckpointedWriter(str(tmp_path / "r"), n_buckets=4)
+    res = w.write(df, validate_geom_col="way")
+    assert res["rows"] == 1
+    errs = w.errors(spark).collect()
+    assert [(e["osm_id"], e["reason"]) for e in errs] == [
+        (2, "invalid_geometry_unrepairable")
+    ]
+    kept = w.read(spark).collect()
+    assert [r["osm_id"] for r in kept] == [1]
+    gt, srid, polys = g.parse_wkb(bytes(kept[0]["way"]))
+    assert gt == 6 and len(polys) == 2  # bowtie -> 2-part multipolygon
+    total = sum(
+        g.polygon_area(np.vstack(rings), np.cumsum([0] + [len(r) for r in rings]))
+        for rings in polys
+    )
+    # bowtie "area": two 25-unit triangles
+    assert abs(total - 50.0) < 1e-6
+    # repaired parts are themselves valid
+    from osmquadtreepostgis_spark.functions.geometry import wkb_is_valid_udf
+
+    ok = (
+        spark.createDataFrame([(bytearray(kept[0]["way"]),)], "way binary")
+        .select(wkb_is_valid_udf("way").alias("v"))
+        .collect()[0]["v"]
+    )
+    assert ok
