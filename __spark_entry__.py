@@ -474,6 +474,26 @@ def q_multimodal_meta(spark, sf):
     return d.mapInPandas(decode, schema)
 
 
+def q_multimodal_frames(spark, sf):
+    """Frame sampling over video-ish binary payloads (training-data
+    multimodal mandate): text bytes as N consecutive 64-byte frames,
+    every 4th sampled inside the Arrow batch — the explode shape a
+    codec-backed frame sampler uses. ASCII fixture text makes the
+    oracle byte-exact via substr."""
+    from osmquadtreepostgis_spark.functions.multimodal import sample_frames
+
+    d = _docs(spark, sf).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    frames = sample_frames(d, frame_bytes=64, every=4)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame").cast("long").alias("n_frame_bytes"),
+        F.decode("frame", "utf-8").alias("frame_text"),
+    )
+
+
 def q_overlay_pairs(spark, sf):
     """Polygon-polygon candidate join (J5): cell-cover equi-join with
     reference-point dedup over the box fixture layer."""
@@ -707,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": _shipped(q_embed_topk),
         "text_analysis": _shipped(q_text_analysis),
         "multimodal_meta": _shipped(q_multimodal_meta),
+        "multimodal_frames": _shipped(q_multimodal_frames),
         "overlay_pairs": _shipped(q_overlay_pairs),
         "way_assembly": _shipped(q_way_assembly),
         "parent_tags": _shipped(q_parent_tags),
@@ -1050,6 +1071,20 @@ def oracle_sql() -> dict[str, str]:
                    cast(n_chars // 100 + 1 as bigint) AS n_frames,
                    false AS decoded
             FROM documents""",
+        # frames = consecutive 64-byte chunks of the utf-8 payload
+        # (ASCII fixture: byte == char), sampled every 4th; partial
+        # trailing chunks are dropped (len // frame_bytes frames)
+        "multimodal_frames": """
+            WITH f AS (
+              SELECT doc_id, text,
+                     unnest(range(0, cast(octet_length(encode(text)) // 64
+                                          as bigint))) AS frame_idx
+              FROM documents)
+            SELECT doc_id, frame_idx,
+                   cast(64 as bigint) AS n_frame_bytes,
+                   substr(text, cast(frame_idx * 64 + 1 as int), 64)
+                     AS frame_text
+            FROM f WHERE frame_idx % 4 = 0""",
     }
 
 

@@ -1,0 +1,215 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The training-data mandate: image/audio/video travel as ``binary``
+columns; decode / feature-extract / resize / frame-sample run as
+Arrow-batched pandas functions over ``mapInPandas``. The actual image
+codecs are NOT in this environment, so:
+
+* real-codec decode is gated behind an import-try (PIL) and raises
+  ``NotImplementedError`` when absent — callers choose the fake path;
+* everything structural — schemas, batch shapes, explode semantics,
+  partitioning — plus the deterministic math (nearest-neighbor resize
+  on a raw raster, byte-histogram features, every-k frame sampling) is
+  REAL and pytest-pinned on the FAKERAW format below.
+
+FAKERAW: a deterministic raster container for tests —
+``b"FAKERAW" + uint16be width + uint16be height + uint8 channels``
+followed by ``width*height*channels`` pixel bytes (row-major).
+Video-ish payloads are just N consecutive FAKERAW frames.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+__all__ = [
+    "FAKERAW_MAGIC",
+    "fakeraw_encode",
+    "fakeraw_decode",
+    "decode_meta",
+    "resize_nearest",
+    "byte_histogram_features",
+    "sample_frames",
+]
+
+FAKERAW_MAGIC = b"FAKERAW"
+_HDR = len(FAKERAW_MAGIC) + 5  # magic + u16 w + u16 h + u8 c
+
+
+def fakeraw_encode(pix: np.ndarray) -> bytes:
+    """(h, w, c) uint8 array -> FAKERAW bytes."""
+    h, w, c = pix.shape
+    return FAKERAW_MAGIC + struct.pack("!HHB", w, h, c) + pix.tobytes()
+
+
+def fakeraw_decode(buf: bytes) -> np.ndarray:
+    """FAKERAW bytes -> (h, w, c) uint8 array (raises on bad magic)."""
+    if buf[: len(FAKERAW_MAGIC)] != FAKERAW_MAGIC:
+        raise ValueError("not a FAKERAW payload")
+    w, h, c = struct.unpack_from("!HHB", buf, len(FAKERAW_MAGIC))
+    arr = np.frombuffer(buf, dtype=np.uint8, count=w * h * c, offset=_HDR)
+    return arr.reshape(h, w, c)
+
+
+def _decode_real(buf: bytes):
+    """Real-codec decode — only when an imaging library exists."""
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env has no PIL
+        raise NotImplementedError(
+            "real image decode needs PIL/pillow on the executors; "
+            "use the FAKERAW path or install an imaging library"
+        ) from exc
+    return np.asarray(Image.open(io.BytesIO(buf)))  # pragma: no cover
+
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+
+def decode_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """payload -> typed metadata struct columns (one mapInPandas pass).
+    FAKERAW parses for real; other containers mark ok=false (or use
+    the PIL path when installed)."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != payload_col]
+        + list(META_SCHEMA.fields)
+    )
+    names = [f.name for f in df.schema.fields if f.name != payload_col]
+
+    def run(batches):
+        for pdf in batches:
+            rows = {n: pdf[n] for n in names}
+            w, h, c, nb, ok = [], [], [], [], []
+            for buf in pdf[payload_col]:
+                b = bytes(buf) if buf is not None else b""
+                nb.append(len(b))
+                try:
+                    pix = fakeraw_decode(b)
+                    h_, w_, c_ = pix.shape
+                    w.append(w_), h.append(h_), c.append(c_), ok.append(True)
+                except Exception:
+                    w.append(None), h.append(None), c.append(None), ok.append(False)
+            rows.update(
+                width=pd.array(w, dtype="Int32"),
+                height=pd.array(h, dtype="Int32"),
+                channels=pd.array(c, dtype="Int32"),
+                n_bytes=pd.Series(nb, dtype="int64"),
+                ok=pd.Series(ok, dtype="bool"),
+            )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, out_schema)
+
+
+def resize_nearest(
+    df: DataFrame, out_w: int, out_h: int, payload_col: str = "payload"
+) -> DataFrame:
+    """Nearest-neighbor resize of FAKERAW payloads — REAL raster math
+    (index-grid gather), deterministic, vectorized numpy; the schema /
+    batch plumbing is exactly what a codec-backed resize uses.
+    Undecodable payloads become NULL."""
+    schema = df.schema
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for buf in pdf[payload_col]:
+                try:
+                    pix = fakeraw_decode(bytes(buf))
+                    h, w, _ = pix.shape
+                    yi = (np.arange(out_h) * h // out_h).astype(np.int64)
+                    xi = (np.arange(out_w) * w // out_w).astype(np.int64)
+                    out.append(fakeraw_encode(pix[yi][:, xi]))
+                except Exception:
+                    out.append(None)
+            pdf = pdf.copy()
+            pdf[payload_col] = out
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def byte_histogram_features(
+    df: DataFrame, payload_col: str = "payload", dim: int = 64
+) -> DataFrame:
+    """payload -> L1-normalized byte-histogram embedding
+    (``array<double>`` of ``dim`` buckets) — a real, deterministic
+    feature extractor (np.bincount over Arrow batches); plugs straight
+    into the ANN operators (knn.ann_cosine_*)."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != payload_col]
+        + [T.StructField("features", T.ArrayType(T.DoubleType()), True)]
+    )
+    names = [f.name for f in df.schema.fields if f.name != payload_col]
+
+    def run(batches):
+        for pdf in batches:
+            feats = []
+            for buf in pdf[payload_col]:
+                if buf is None:
+                    feats.append(None)
+                    continue
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                hist = np.bincount(arr // (256 // dim), minlength=dim).astype(
+                    np.float64
+                )
+                s = hist.sum()
+                feats.append((hist / s if s else hist).tolist())
+            rows = {n: pdf[n] for n in names}
+            rows["features"] = feats
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int,
+    every: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Video-ish payload (N consecutive fixed-size frames) -> one row
+    per SAMPLED frame (every ``every``-th), carrying the frame index
+    and its bytes. The explode happens inside the Arrow batch (no
+    Spark-side array materialization of unsampled frames)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("frame_idx", T.LongType(), False),
+            T.StructField("frame", T.BinaryType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for did, buf in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(buf)
+                n = len(b) // frame_bytes
+                for k in range(0, n, every):
+                    ids.append(int(did))
+                    idxs.append(k)
+                    frames.append(b[k * frame_bytes : (k + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"),
+                 "frame_idx": pd.Series(idxs, dtype="int64"),
+                 "frame": frames}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
