@@ -26,6 +26,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_PAGES = int(os.environ.get("SCALING_N_PAGES", "32000000"))
 _lv = os.environ.get("SCALING_LEVELS", "2,8").split(",")
 LEVELS = (int(_lv[0]), int(_lv[1]))
+N_RUNS = int(os.environ.get("SCALING_RUNS", "3"))
 
 
 def worker(cpus: int, path: str, n_pages: int) -> None:
@@ -46,12 +47,12 @@ def worker(cpus: int, path: str, n_pages: int) -> None:
     pages_pipeline(pages_df.limit(200_000)).count()
     runs = []
     n_tiles = 0
-    for _ in range(3):
+    for _ in range(N_RUNS):
         t0 = time.perf_counter()
         n_tiles = pages_pipeline(pages_df).count()
         runs.append(time.perf_counter() - t0)
     best = min(runs)
-    med = sorted(runs)[1]
+    med = sorted(runs)[len(runs) // 2]
     print(
         json.dumps(
             {
