@@ -99,6 +99,28 @@ def q_cell_encode(spark, sf):
     )
 
 
+def q_sql_surface_cells(spark, sf):
+    """The SQL ST_* surface end-to-end through spark.sql: encode +
+    guarded tile + z_order/minzoom as registered SQL scalar functions
+    (pure Catalyst — the plan has no Python nodes). Same frozen keys
+    as the pandas-UDF path; the oracle expands the identical math."""
+    from osmquadtreepostgis_spark.plans.sql_surface import register_sql_functions
+
+    register_sql_functions(spark)
+    d = doc_coords(_docs(spark, sf).select("doc_id"))
+    d.createOrReplaceTempView("__sqlsurf_docs")
+    return spark.sql(
+        f"""
+        SELECT doc_id,
+               st_point_to_cell(lon, lat, {CELL_DEPTH}) AS cell,
+               st_cell_tile(st_point_to_cell(lon, lat, {CELL_DEPTH}),
+                            {TILE_DEPTH}) AS tile,
+               st_cell_depth(st_point_to_cell(lon, lat, {CELL_DEPTH}))
+                 AS cell_depth
+        FROM __sqlsurf_docs"""
+    )
+
+
 def q_tile_agg(spark, sf):
     d = doc_coords(_docs(spark, sf).select("doc_id", "n_chars"))
     enc = d.withColumn("cell", cell_encode_udf(CELL_DEPTH)("lon", "lat")).withColumn(
@@ -698,6 +720,7 @@ def _shipped(fn):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cell_encode": _shipped(q_cell_encode),
+        "sql_surface_cells": _shipped(q_sql_surface_cells),
         "tile_agg": _shipped(q_tile_agg),
         "pip_points_in_boxes": _shipped(q_pip_points_in_boxes),
         "pip_shuffle_cover": _shipped(q_pip_shuffle_cover),
@@ -816,6 +839,12 @@ def oracle_sql() -> dict[str, str]:
             WITH {_DOCS_CTE}, {_CELLS_CTE}
             SELECT doc_id, lon, lat, {_PACK18} AS cell,
                    {qt.sql_cell_parent(_PACK18, TILE_DEPTH)} AS tile
+            FROM cells""",
+        "sql_surface_cells": f"""
+            WITH {_DOCS_CTE}, {_CELLS_CTE}
+            SELECT doc_id, {_PACK18} AS cell,
+                   {qt.sql_cell_parent(_PACK18, TILE_DEPTH)} AS tile,
+                   cast({CELL_DEPTH} as bigint) AS cell_depth
             FROM cells""",
         "tile_agg": f"""
             WITH {_DOCS_CTE}, {_CELLS_CTE}, {_ENC_CTE}

@@ -36,6 +36,19 @@ def main(argv: list[str] | None = None) -> int:
     dc.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     dc.add_argument("--cores", type=int, default=None)
 
+    ex = sub.add_parser(
+        "export", help="export a checkpointed output as COPY text files"
+    )
+    ex.add_argument("--data", required=True, help="checkpointed data dir")
+    ex.add_argument("--out", required=True, help="COPY text output dir")
+    ex.add_argument("--cores", type=int, default=None)
+
+    mt = sub.add_parser("maintain", help="compact + analyze a clustered table")
+    mt.add_argument("--path", required=True)
+    mt.add_argument("--target-rows", type=int, default=1_000_000)
+    mt.add_argument("--cell-col", default="cell")
+    mt.add_argument("--cores", type=int, default=None)
+
     args = p.parse_args(argv)
 
     from .session import get_spark
@@ -61,6 +74,25 @@ def main(argv: list[str] | None = None) -> int:
 
             rows = documents_pipeline(spark, args.sf_dir).collect()
             print(json.dumps({"rows": len(rows), "sample": str(rows[0]) if rows else None}))
+        elif args.cmd == "export":
+            from pyspark.sql import functions as F
+
+            from .sources.sinks import write_tables_copy_text
+
+            df = spark.read.parquet(args.data).withColumn(
+                "table", F.lit("tiles")
+            )
+            paths = write_tables_copy_text(df, args.out)
+            print(json.dumps(paths))
+        elif args.cmd == "maintain":
+            from .sources.maintenance import analyze_table, compact_table
+
+            stats = compact_table(
+                spark, args.path, args.target_rows, cell_col=args.cell_col
+            )
+            cols = analyze_table(spark.read.parquet(args.path))
+            stats["columns"] = [r.asDict() for r in cols]
+            print(json.dumps(stats))
     finally:
         spark.stop()
     return 0
