@@ -177,9 +177,9 @@ def q_knn_grid(spark, sf):
     q = doc_coords(
         _docs(spark, sf).select("doc_id").filter(F.col("doc_id") % 50 == 0)
     ).select(F.col("doc_id").alias("q_id"), F.col("lon").alias("q_lon"), F.col("lat").alias("q_lat"))
-    return KNN.knn_grid_guaranteed(q, d, k=5, depth=10, q_id="q_id", p_id="p_id").select(
-        "q_id", "p_id", "rank"
-    )
+    return KNN.knn_grid_guaranteed(
+        q, d, k=5, depth=10, max_rounds=2, q_id="q_id", p_id="p_id"
+    ).select("q_id", "p_id", "rank")
 
 
 def q_routing_extended(spark, sf):
