@@ -253,6 +253,25 @@ def q_zorder_minzoom(spark, sf):
     )
 
 
+def q_raster_vectorize(spark, sf):
+    """Raster<->vector tile aggregation (the north rule's phrase, made
+    literal): rasterize doc points into depth-6 cell counts (pure-JVM
+    generated-SQL encode, one hash-agg shuffle), threshold, then
+    vectorize each surviving cell back to its bounding box via the
+    magic-mask Morton compress. lon bounds and dyadic v bounds are
+    bit-identical across engines (no trig in the compared columns)."""
+    from osmquadtreepostgis_spark.operators.pyramid import (
+        rasterize_points,
+        vectorize_cells,
+    )
+
+    d = doc_coords(_docs(spark, sf).select("doc_id"))
+    raster = rasterize_points(d, depth=6)
+    return vectorize_cells(raster, depth=6, min_count=3).select(
+        "cell", "n", "x", "y", "lon_min", "lon_max", "v_min", "v_max"
+    )
+
+
 def q_pyramid_counts(spark, sf):
     d = doc_coords(_docs(spark, sf).select("doc_id"))
     enc = d.withColumn("cell", cell_encode_udf(CELL_DEPTH)("lon", "lat"))
@@ -733,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_minzoom": _shipped(q_zorder_minzoom),
         "style_spec_routing": _shipped(q_style_spec_routing),
         "pyramid_counts": _shipped(q_pyramid_counts),
+        "raster_vectorize": _shipped(q_raster_vectorize),
         "union_roads": _shipped(q_union_roads),
         "pricing_summary": _shipped(q_pricing_summary),
         "revenue_by_nation": _shipped(q_revenue_by_nation),
@@ -943,6 +963,23 @@ def oracle_sql() -> dict[str, str]:
         "pyramid_counts": f"""
             WITH {_DOCS_CTE}, {_CELLS_CTE}
             {' UNION ALL '.join(pyramid_arms)}""",
+        "raster_vectorize": f"""
+            WITH {_DOCS_CTE},
+            raster AS (
+              SELECT {qt.sql_point_to_cell('lon', 'lat', 6)} AS cell,
+                     count(*) AS n
+              FROM docs GROUP BY 1),
+            kept AS (SELECT cell, n FROM raster WHERE n >= 3),
+            xy AS (SELECT cell, n,
+                          {qt.sql_cell_to_xy('cell', 6)[0]} AS x,
+                          {qt.sql_cell_to_xy('cell', 6)[1]} AS y
+                   FROM kept)
+            SELECT cell, n, x, y,
+                   x / 64 * 360.0 - 180.0 AS lon_min,
+                   (x + 1) / 64 * 360.0 - 180.0 AS lon_max,
+                   y / 64.0 AS v_min,
+                   (y + 1) / 64.0 AS v_max
+            FROM xy""",
         "union_roads": f"""
             WITH el AS ({el}),
             signed AS (SELECT {signed} AS osm_id, geom_type, highway, boundary,

@@ -69,7 +69,10 @@ def main() -> None:
         "knn_exact",
         "knn_grid",
         "pyramid_counts",
+        "raster_vectorize",
         "routing_extended",
+        "style_spec_routing",
+        "sql_surface_cells",
         "pricing_summary",
         "revenue_by_nation",
         "top_orders_window",
@@ -83,6 +86,7 @@ def main() -> None:
         "embed_topk",
         "text_analysis",
         "multimodal_meta",
+        "multimodal_frames",
         "overlay_pairs",
         "way_assembly",
         "parent_tags",

@@ -24,7 +24,13 @@ from ..functions.geometry import wkb_simplify_udf
 # (minzoom cutoff, simplify tolerance in mercator metres or None)
 DEFAULT_LEVELS = [(6, 612.0), (9, None), (11, None)]
 
-__all__ = ["lowzoom_level", "build_pyramid", "DEFAULT_LEVELS"]
+__all__ = [
+    "lowzoom_level",
+    "build_pyramid",
+    "rasterize_points",
+    "vectorize_cells",
+    "DEFAULT_LEVELS",
+]
 
 
 def lowzoom_level(
@@ -44,6 +50,72 @@ def lowzoom_level(
     if cell_col in df.columns:
         out = out.withColumn(
             "lz_tile", cell_parent_col(cell_col, min(minzoom_cutoff, 20))
+        )
+    return out
+
+
+def rasterize_points(
+    df: DataFrame,
+    depth: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    weight: str | None = None,
+) -> DataFrame:
+    """Points -> per-cell raster at ``depth``: (cell, n[, w]) — the
+    raster half of the north rule's raster<->vector tile aggregation.
+    Fully JVM (generated-SQL cell encode, hash aggregate with map-side
+    partials); the shuffle key is the cell id."""
+    from .. import quadtree as qt
+
+    enc = df.withColumn("cell", F.expr(qt.sql_point_to_cell(lon, lat, depth)))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if weight is not None:
+        aggs.append(F.sum(weight).alias("w"))
+    return enc.groupBy("cell").agg(*aggs)
+
+
+def vectorize_cells(
+    df: DataFrame,
+    depth: int,
+    cell_col: str = "cell",
+    min_count: int | None = None,
+    geometry: bool = False,
+) -> DataFrame:
+    """Raster -> vector: each (thresholded) cell becomes its bounding
+    box — x/y via the closed-form magic-mask Morton COMPRESS (pure JVM
+    bit math, whole-stage codegen), lon bounds linear in x, v bounds
+    exact dyadic rationals y/2^depth (both bit-identical across
+    engines, which is what makes the oracle compare exact). With
+    ``geometry`` a mercator EWKB box rides along (wkb column, not
+    oracle-compared — trig at the export boundary only)."""
+    from .. import quadtree as qt
+
+    out = df
+    if min_count is not None:
+        out = out.filter(F.col("n") >= min_count)
+    xe, ye = qt.sql_cell_to_xy(cell_col, depth)
+    n = 1 << depth
+    out = (
+        out.withColumn("x", F.expr(xe))
+        .withColumn("y", F.expr(ye))
+        .withColumn("lon_min", F.col("x") / n * 360.0 - 180.0)
+        .withColumn("lon_max", (F.col("x") + 1) / n * 360.0 - 180.0)
+        .withColumn("v_min", F.col("y") / F.lit(float(n)))
+        .withColumn("v_max", (F.col("y") + 1) / F.lit(float(n)))
+    )
+    if geometry:
+        import math
+
+        from ..functions.geometry import bbox_to_wkb_udf
+
+        pi = F.lit(math.pi)
+        lat_hi = F.degrees(F.atan(F.sinh(pi * (1 - 2 * F.col("v_min")))))
+        lat_lo = F.degrees(F.atan(F.sinh(pi * (1 - 2 * F.col("v_max")))))
+        out = out.withColumn(
+            "way",
+            bbox_to_wkb_udf()(
+                F.col("lon_min"), lat_lo, F.col("lon_max"), lat_hi
+            ),
         )
     return out
 

@@ -352,3 +352,28 @@ def sql_cell_parent(key: str, depth: int) -> str:
     """SQL expression computing cell_parent(key, depth)."""
     keep = 2 * MAX_DEPTH - 2 * depth
     return f"((((({key}) >> {DEPTH_BITS}) >> {keep}) << {keep + DEPTH_BITS}) | {depth})"
+
+
+_COMPRESS_MASKS = (
+    (1, 0x3333333333333333),
+    (2, 0x0F0F0F0F0F0F0F0F),
+    (4, 0x00FF00FF00FF00FF),
+    (8, 0x0000FFFF0000FFFF),
+    (16, 0x00000000FFFFFFFF),
+)
+
+
+def sql_cell_to_xy(key: str, depth: int) -> tuple[str, str]:
+    """SQL expressions for the tile x/y of a depth-``depth`` cell —
+    the inverse of sql_pack_xy, via the closed-form magic-mask bit
+    COMPRESS (reverse Morton spread; identical in Spark SQL and
+    DuckDB, so it serves both the engine and the oracle)."""
+    aligned = f"((({key}) >> {DEPTH_BITS}) >> {2 * (MAX_DEPTH - depth)})"
+
+    def compress(v: str) -> str:
+        e = f"(({v}) & 6148914691236517205)"  # keep even bits
+        for s, m in _COMPRESS_MASKS:
+            e = f"((({e}) | (({e}) >> {s})) & {m})"
+        return e
+
+    return compress(aligned), compress(f"({aligned}) >> 1")

@@ -229,3 +229,49 @@ def test_ann_pairs_lsh_recall_and_precision(spark):
     assert got <= want  # precision 1.0 (every emitted pair verified)
     recall = len(got & want) / len(want)
     assert recall == 1.0, f"recall {recall}"
+
+
+def test_rasterize_vectorize_roundtrip(spark):
+    """raster<->vector: every point falls inside its cell's vectorized
+    box (lon within, mercator v within), boxes tile without overlap at
+    fixed depth, and the geometry arm emits valid EWKB."""
+    from osmquadtreepostgis_spark.operators.pyramid import (
+        rasterize_points,
+        vectorize_cells,
+    )
+    from osmquadtreepostgis_spark import geom as g
+    from osmquadtreepostgis_spark import quadtree as qt
+
+    rng = np.random.default_rng(31)
+    pts = pd.DataFrame(
+        {
+            "pt_id": np.arange(2000),
+            "lon": rng.uniform(-170, 170, 2000),
+            "lat": rng.uniform(-80, 80, 2000),
+        }
+    )
+    df = spark.createDataFrame(pts)
+    raster = rasterize_points(df, depth=5)
+    assert raster.agg(F.sum("n")).collect()[0][0] == 2000
+    vec = vectorize_cells(raster, depth=5, geometry=True).collect()
+    # rasterized cell keys match the frozen numpy encode
+    want_cells = set(qt.point_to_cell(pts.lon.values, pts.lat.values, 5).tolist())
+    assert {r["cell"] for r in vec} == want_cells
+    for r in vec:
+        assert r["lon_min"] < r["lon_max"] and r["v_min"] < r["v_max"]
+        gt, srid, rings = g.parse_wkb(bytes(r["way"]))
+        assert gt == 3 and srid == 3857
+    # no two boxes overlap (distinct x/y pairs at one depth)
+    keys = [(r["x"], r["y"]) for r in vec]
+    assert len(keys) == len(set(keys))
+    # membership: each point's lon/v inside its cell's box
+    u = (pts.lon.values + 180.0) / 360.0
+    lat_c = np.clip(pts.lat.values, -qt.MERC_MAX_LAT, qt.MERC_MAX_LAT)
+    v = (1.0 - np.log(np.tan(np.pi / 4 + np.radians(lat_c) / 2)) / np.pi) / 2.0
+    boxes = {(r["x"], r["y"]): r for r in vec}
+    cells = qt.point_to_cell(pts.lon.values, pts.lat.values, 5)
+    x, y, _ = qt.cell_to_tile_xy(cells)
+    for i in range(len(pts)):
+        b = boxes[(int(x[i]), int(y[i]))]
+        assert b["lon_min"] - 1e-12 <= pts.lon.values[i] < b["lon_max"] + 1e-12
+        assert b["v_min"] - 1e-12 <= v[i] <= b["v_max"] + 1e-12
