@@ -20,8 +20,72 @@ from pyspark.sql import functions as F
 __all__ = [
     "stream_events_windowed",
     "stream_sessionize_stateful",
+    "stream_pages_flagship",
     "run_stream_to_completion",
 ]
+
+
+def stream_pages_flagship(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """The flagship (mine -> encode -> PIP -> tile) as an INCREMENTAL
+    streaming job over a directory of pages parquet files — the
+    continuous-ingest shape of the north rule's pipeline.
+
+    Per micro-batch, foreachBatch runs the batch flagship on the new
+    files and appends that batch's additive partial aggregates
+    (tile, poly_id, n_mentions) tagged with the batch id; the
+    writeStream ``checkpointLocation`` gives exactly-once per batch, so
+    a killed stream restarted over the same dirs skips completed
+    batches — streaming-native resume on top of the CheckpointedWriter
+    story. Returns the final exact rollup (sum of partials; counts are
+    additive across batches).
+    """
+    from ..operators.mine import mine_coordinate_mentions
+    from ..operators.pip import PolygonIndex, encode_pip_tile
+    from ..plans.pipeline import CELL_DEPTH, TILE_DEPTH
+    from ..sources import fixtures
+    from ..sources.pages import PAGES_SCHEMA
+
+    index = PolygonIndex.from_polygons_df(fixtures.polygons_df(spark), depth=6)
+    data_dir = f"{out_dir.rstrip('/')}/partials"
+    ckpt_dir = f"{out_dir.rstrip('/')}/_stream_checkpoint"
+
+    src = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+
+    def batch_fn(batch_df: DataFrame, batch_id: int) -> None:
+        mentions = mine_coordinate_mentions(batch_df)
+        hits = encode_pip_tile(mentions, index, CELL_DEPTH, TILE_DEPTH)
+        (
+            hits.groupBy("tile", "poly_id")
+            .agg(F.count(F.lit(1)).alias("n_mentions"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(data_dir)
+        )
+
+    q = (
+        src.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", ckpt_dir)
+        .queryName("pages_flagship_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(data_dir)
+        .groupBy("tile", "poly_id")
+        .agg(F.sum("n_mentions").cast("long").alias("n_mentions"))
+    )
 
 
 def stream_events_windowed(

@@ -67,3 +67,43 @@ def test_stateful_sessionize_equals_batch(spark):
         want[["user_id", "n_sessions", "n_events"]],
         check_dtype=False,
     )
+
+
+def test_stream_pages_flagship_equals_batch_and_resumes(spark, tmp_path):
+    """The streaming flagship over 3 page files equals the batch
+    flagship on the same pages, and a re-run over the same input
+    (fresh call, same checkpoint) appends NOTHING new (exactly-once
+    per batch = streaming resume)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from osmquadtreepostgis_spark.plans.pipeline import pages_pipeline
+    from osmquadtreepostgis_spark.sources.pages import pages
+    from osmquadtreepostgis_spark.streaming.stream import stream_pages_flagship
+
+    src_dir = str(tmp_path / "pages_in")
+    # three files -> three micro-batches at maxFilesPerTrigger=1
+    pages(spark, 30_000, partitions=3).write.parquet(src_dir)
+    assert len(glob.glob(src_dir + "/part-*.parquet")) == 3
+
+    out = str(tmp_path / "stream_out")
+    got = stream_pages_flagship(spark, src_dir, out)
+    want = (
+        pages_pipeline(spark.read.parquet(src_dir))
+        .select("tile", "poly_id", "n_mentions")
+    )
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0
+    n_batches = (
+        spark.read.parquet(out + "/partials").select("batch_id").distinct().count()
+    )
+    assert n_batches == 3
+
+    # resume: same source + checkpoint -> no new partials, same rollup
+    got2 = stream_pages_flagship(spark, src_dir, out)
+    assert sorted(map(tuple, got2.collect())) == g
+    n_files = len(glob.glob(out + "/partials/part-*.parquet"))
+    got3 = stream_pages_flagship(spark, src_dir, out)
+    assert len(glob.glob(out + "/partials/part-*.parquet")) == n_files
