@@ -109,15 +109,19 @@ def q_sql_surface_cells(spark, sf):
     register_sql_functions(spark)
     d = doc_coords(_docs(spark, sf).select("doc_id"))
     d.createOrReplaceTempView("__sqlsurf_docs")
+    # compute the encode ONCE in a subquery: each st_point_to_cell call
+    # inlines a large expression tree (trig + magic-mask spread), and
+    # while runtime subexpression elimination handles duplicates, the
+    # one-time analysis/codegen cost scales with tree size (measured 3x
+    # on the triple-call form)
     return spark.sql(
         f"""
-        SELECT doc_id,
-               st_point_to_cell(lon, lat, {CELL_DEPTH}) AS cell,
-               st_cell_tile(st_point_to_cell(lon, lat, {CELL_DEPTH}),
-                            {TILE_DEPTH}) AS tile,
-               st_cell_depth(st_point_to_cell(lon, lat, {CELL_DEPTH}))
-                 AS cell_depth
-        FROM __sqlsurf_docs"""
+        SELECT doc_id, cell,
+               st_cell_tile(cell, {TILE_DEPTH}) AS tile,
+               st_cell_depth(cell) AS cell_depth
+        FROM (SELECT doc_id,
+                     st_point_to_cell(lon, lat, {CELL_DEPTH}) AS cell
+              FROM __sqlsurf_docs)"""
     )
 
 

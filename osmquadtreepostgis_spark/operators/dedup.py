@@ -115,11 +115,12 @@ def ngram_jaccard_pairs(
         )
         .select("id", "__size", "__pref", "__shfull", F.explode("__pref").alias("__s"))
     )
-    # ONE explicit shuffle on the shingle key, MATERIALIZED once:
-    # collect_list is non-deterministic to Catalyst, which defeats
-    # ReuseExchange, so without the cache each self-join side re-runs
-    # the whole df+rank pipeline (measured 2x the exchanges)
-    prefex = pref.repartition("__s").cache()
+    # Explicit shuffle on the shingle key. collect_list is
+    # non-deterministic to Catalyst, which defeats ReuseExchange, so
+    # each self-join side re-runs the df+rank pipeline — measured
+    # CHEAPER than cache()-materializing the exchange (the prefix rows
+    # carry two array payloads; caching them doubled the query time)
+    prefex = pref.repartition("__s")
     a = prefex.select(
         F.col("id").alias("id_a"),
         F.col("__size").alias("__sa"),
