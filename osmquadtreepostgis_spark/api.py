@@ -1,0 +1,131 @@
+"""Top-level user API: the reference's ``write_to_postgis`` lifecycle
+(/root/reference/osmquadtreepostgis/__init__.py:465-516), Spark-shaped.
+
+The reference sequence — build column specs from the style, pick the
+alloc func, validate geometry, load every routed table inside one
+transaction, then create indices, planet_osm_* views, and the lowzoom
+tables/views — maps 1:1:
+
+=========================  =========================================
+reference                  here
+=========================  =========================================
+postgis_columns(style,…)   plans.specs.build_table_specs
+alloc_func='extended'      alloc= hook (resolve_alloc contract)
+validate_geometry=True     repair + quarantine (buffer(0)/mperrorvec)
+create_tables DDL          specs.create_table_ddl (returned strings)
+COPY per table, one txn    atomic per-table parquet overwrite
+                           (+ optional COPY text tree for a real PG)
+connstring == 'null'       dry_run=True → counts only, nothing written
+write_planetosm_views      plans.views.register_compat_views
+create_*_lowzoom 6/9/11    lowzoom=[6, 9, 11] filtered views
+=========================  =========================================
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .plans.specs import (
+    Style,
+    apply_table_specs,
+    build_table_specs,
+    create_table_ddl,
+)
+from .plans.views import register_compat_views
+
+__all__ = ["write_to_tables", "DEFAULT_STYLE"]
+
+DEFAULT_STYLE = Style(
+    feature_keys=("highway", "building", "boundary", "type"),
+)
+
+DEFAULT_LOWZOOM = [6, 9, 11]  # the reference's lz6/lz9/lz11 (:510-512)
+
+
+def write_to_tables(
+    elements: DataFrame,
+    out_dir: str,
+    table_prefix: str = "planet_osm",
+    style: Style | None = None,
+    add_min_zoom: bool = True,
+    extended: bool = True,
+    alloc=None,
+    validate_geometry: bool = True,
+    lowzoom: list[int] | None = None,
+    copy_text: bool = False,
+    providers=None,
+    dry_run: bool = False,
+) -> dict:
+    """Route, pivot, and write every style-driven output table, then
+    register the compat + lowzoom view layer. Returns
+    {tables: {name: path|rows}, ddl: {name: CREATE TABLE …},
+    views: [...], errors: path|None}.
+
+    ``dry_run`` is the reference's connstring=='null' counting sink:
+    compute per-table row counts, write nothing."""
+    style = style or DEFAULT_STYLE
+    if lowzoom is None:
+        lowzoom = DEFAULT_LOWZOOM
+    specs = build_table_specs(style, add_min_zoom=add_min_zoom, extended=extended)
+    if alloc is None:
+        alloc = "extended" if extended else "default"
+    tables = apply_table_specs(
+        elements, specs, extended=extended, providers=providers, alloc=alloc
+    )
+
+    ddl = {
+        name: create_table_ddl(spec, f"{table_prefix}_")
+        for name, spec in specs.items()
+    }
+
+    out: dict = {"tables": {}, "ddl": ddl, "views": [], "errors": None}
+    errors_dir = f"{out_dir.rstrip('/')}/_errors"
+    written: dict[str, DataFrame] = {}
+    for name, df in tables.items():
+        if validate_geometry and "way" in df.columns:
+            from .functions.geometry import wkb_is_valid_udf, wkb_make_valid_udf
+
+            flagged = df.withColumn(
+                "__valid",
+                F.when(F.col("way").isNull(), F.lit(True)).otherwise(
+                    wkb_is_valid_udf(F.col("way"))
+                ),
+            )
+            df = flagged.withColumn(
+                "way",
+                F.when(F.col("__valid") | F.col("way").isNull(), F.col("way"))
+                .otherwise(wkb_make_valid_udf(F.col("way"))),
+            )
+            bad = df.filter(~F.col("__valid") & F.col("way").isNull()).drop(
+                "__valid"
+            )
+            if not dry_run and not bad.isEmpty():
+                bad.withColumn("reason", F.lit("invalid_geometry_unrepairable")) \
+                    .withColumn("src_table", F.lit(name)) \
+                    .write.mode("append").parquet(errors_dir)
+                out["errors"] = errors_dir
+            df = df.filter(F.col("__valid") | F.col("way").isNotNull()).drop(
+                "__valid"
+            )
+        if dry_run:
+            out["tables"][name] = df.count()
+        else:
+            path = f"{out_dir.rstrip('/')}/{table_prefix}_{name}"
+            w = df
+            if "tile" in df.columns:
+                w = df.repartitionByRange("tile")
+            w.write.mode("overwrite").parquet(path)
+            out["tables"][name] = path
+            written[name] = df.sparkSession.read.parquet(path)
+        if copy_text and not dry_run:
+            from .sources.sinks import write_tables_copy_text
+
+            routed = df.withColumn("table", F.lit(name))
+            write_tables_copy_text(routed, f"{out_dir.rstrip('/')}/copy")
+
+    if written:
+        out["views"] = register_compat_views(
+            elements.sparkSession, written, prefix=table_prefix, lowzoom=lowzoom
+        )
+    return out

@@ -54,6 +54,7 @@ __all__ = [
     "TableSpec",
     "build_table_specs",
     "apply_table_specs",
+    "create_table_ddl",
     "DEFAULT_EXTRA_NODE_COLS",
     "DEFAULT_EXTRA_WAY_COLS",
     "BOUNDARY_WHITELIST",
@@ -229,6 +230,34 @@ def build_table_specs(
         )
         specs["boundary"] = TableSpec("boundary", boundary_cols)
     return specs
+
+
+# PG DDL types per spec type + geometry subtype per source (the
+# reference's type_str + create_tables, __init__.py:136-173)
+_PG_TYPES = {"bigint": "bigint", "text": "text", "double": "double precision",
+             "hstore": "hstore"}
+_PG_GEOM = {
+    GEOMETRY: "geometry(Geometry, 3857)",
+    REPRESENTATIVE_POINT: "geometry(Point, 3857)",
+    BOUNDARY_LINE: "geometry(Geometry, 3857)",
+}
+
+
+def create_table_ddl(spec: TableSpec, table_prefix: str = "planet_osm_") -> str:
+    """PostGIS CREATE TABLE for a spec (pair with the COPY text/binary
+    emitters to load an actual PostGIS — the reference's create_tables,
+    __init__.py:136-173)."""
+    cols = []
+    for c in spec.columns:
+        if c.type == "geometry":
+            pg = _PG_GEOM.get(c.source, "geometry(Geometry, 3857)")
+        else:
+            pg = _PG_TYPES[c.type]
+        name = f'"{c.name}"' if ":" in c.name else c.name
+        cols.append(f"{name} {pg}")
+    return (
+        f"CREATE TABLE {table_prefix}{spec.name} (" + ", ".join(cols) + ")"
+    )
 
 
 def _compile_column(

@@ -1,0 +1,85 @@
+"""Top-level write_to_tables lifecycle: the write_to_postgis twin
+(spec build -> route -> validate -> write -> views)."""
+
+import glob
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmquadtreepostgis_spark.api import write_to_tables
+from osmquadtreepostgis_spark.plans.specs import Style
+
+
+@pytest.fixture(scope="module")
+def elements(spark):
+    from osmquadtreepostgis_spark.plans.elements import elements_df
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return elements_df(docs)
+
+
+def test_dry_run_counts_only(spark, elements, tmp_path):
+    """connstring == 'null' analog: counts, nothing on disk."""
+    out = write_to_tables(elements, str(tmp_path / "x"), dry_run=True)
+    assert set(out["tables"]) == {
+        "point", "line", "polygon", "highway", "building", "boundary",
+    }
+    assert all(isinstance(v, int) for v in out["tables"].values())
+    assert sum(out["tables"].values()) >= elements.count()  # fan-out >= 1
+    assert not (tmp_path / "x").exists()
+
+
+def test_full_lifecycle_writes_tables_views_ddl(spark, elements, tmp_path):
+    out = write_to_tables(
+        elements,
+        str(tmp_path / "w"),
+        table_prefix="t_api",
+        lowzoom=[6],
+        copy_text=True,
+    )
+    # every routed table written and readable
+    for name, path in out["tables"].items():
+        df = spark.read.parquet(path)
+        assert df.columns[0] == "osm_id"
+    # boundary rows all negative ids (relation polygons)
+    b = spark.read.parquet(out["tables"]["boundary"])
+    assert b.filter(F.col("osm_id") >= 0).count() == 0
+    # views: compat + lowzoom registered over the written tables
+    assert "t_api_roads" in out["views"]
+    assert any(v.endswith("_lz6") for v in out["views"])
+    # compat line view = line UNION highway (osm2pgsql layering)
+    assert spark.table("t_api_line").count() == (
+        spark.read.parquet(out["tables"]["line"]).count()
+        + spark.read.parquet(out["tables"]["highway"]).count()
+    )
+    # DDL strings mirror the specs (hstore catch-all + typed layer)
+    assert "tags hstore" in out["ddl"]["point"]
+    assert "layer bigint" in out["ddl"]["line"]
+    assert 'way geometry(Geometry, 3857)' in out["ddl"]["polygon"]
+    assert "way_exterior" in out["ddl"]["boundary"]
+    # COPY text tree exists and parses as tab-separated lines
+    files = glob.glob(str(tmp_path / "w" / "copy" / "line.copy" / "part-*.gz"))
+    assert files
+    with gzip.open(files[0], "rt") as fh:
+        first = fh.readline().rstrip("\n").split("\t")
+    assert len(first) == len(
+        spark.read.parquet(out["tables"]["line"]).columns
+    )
+
+
+def test_custom_style_and_alloc(spark, elements, tmp_path):
+    style = Style(feature_keys=("highway",), other_keys=("name",))
+    out = write_to_tables(
+        elements,
+        str(tmp_path / "c"),
+        style=style,
+        extended=False,
+        add_min_zoom=False,
+        alloc=lambda g, t, z: F.array(F.lit("line")),
+        lowzoom=[],
+    )
+    assert set(out["tables"]) == {"point", "line", "polygon"}
+    line = spark.read.parquet(out["tables"]["line"])
+    assert line.count() == elements.count()  # custom alloc: all -> line
+    assert "tags" not in line.columns  # no catch-all with other_keys
