@@ -105,3 +105,79 @@ def test_simplify_endpoints_and_subset(pts, tol):
         while i < len(line) and not np.array_equal(line[i], p):
             i += 1
         assert i < len(line)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-170, 170, allow_nan=False),
+            st.floats(-80, 80, allow_nan=False),
+        ),
+        min_size=4,
+        max_size=12,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_repair_ring_invariants(pts):
+    """repair_ring: simple rings pass through (single identical part);
+    repaired rings always split into simple parts whose total absolute
+    area is positive; repair never raises on proper-crossing input."""
+    ring = np.array(pts, dtype=np.float64)
+    # drop consecutive duplicates (degenerate edges)
+    keep = np.ones(len(ring), dtype=bool)
+    keep[1:] = (np.abs(np.diff(ring, axis=0)).sum(axis=1) > 1e-9)
+    ring = ring[keep]
+    if len(ring) < 3:
+        return
+    parts = g.repair_ring(ring)
+    if g.ring_is_simple(ring):
+        closed = np.vstack([ring, ring[:1]])
+        area = abs(g.ring_area(closed, np.array([0, len(closed) - 1]))[0])
+        if area > 1e-12:
+            assert parts is not None and len(parts) == 1
+            assert np.allclose(parts[0], ring)
+        return
+    if parts is None:
+        return  # unrepairable (collinear overlaps etc.) -> quarantine path
+    assert len(parts) >= 1
+    for p in parts:
+        assert g.ring_is_simple(p)
+        closed = np.vstack([p, p[:1]])
+        assert abs(g.ring_area(closed, np.array([0, len(closed) - 1]))[0]) > 1e-12
+
+
+@given(
+    st.floats(-179.9, 179.9, allow_nan=False),
+    st.floats(-84.9, 84.9, allow_nan=False),
+    st.integers(1, qt.MAX_DEPTH),
+)
+@settings(max_examples=80, deadline=None)
+def test_sql_cell_xy_inverts_pack(lon, lat, depth):
+    """sql_cell_to_xy (magic-mask compress, used by vectorize_cells and
+    the DuckDB oracle) inverts the packing for every depth."""
+    import duckdb
+    import pandas as pd
+
+    cell = qt.point_to_cell(np.array([lon]), np.array([lat]), depth)
+    x, y, d = qt.cell_to_tile_xy(cell)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"cell": cell}))
+    xe, ye = qt.sql_cell_to_xy("cell", depth)
+    got = con.sql(f"SELECT {xe} x, {ye} y FROM t").fetchone()
+    assert got == (int(x[0]), int(y[0]))
+
+
+@given(
+    st.lists(st.floats(1.4, 179.9, allow_nan=False), min_size=1, max_size=30)
+)
+@settings(max_examples=60, deadline=None)
+def test_round5_formatter_matches_repr(vals):
+    """The vectorized synthesis formatter == repr(round(x, 5)) for any
+    city-magnitude coordinate (|x| >= 1.3 keeps repr non-scientific)."""
+    from osmquadtreepostgis_spark.sources.pages import _round5_str
+
+    x = np.round(np.array(vals, dtype=np.float64), 5)
+    x = np.concatenate([x, -x])
+    want = [repr(round(float(v), 5)) for v in x]
+    got = _round5_str(x).tolist()
+    assert got == want
