@@ -1,0 +1,37 @@
+"""Plan-discipline regressions over EVERY queries() entry: analysis
+only (no execution), so the whole sweep is cheap.
+
+Invariants the 100 TB posture depends on:
+* no row-at-a-time Python UDFs anywhere (BatchEvalPython) — Python is
+  allowed only through Arrow (ArrowEvalPython / MapInArrow /
+  FlatMap*Pandas*);
+* no unbroadcast cartesian product (CartesianProduct) — deliberate
+  small-side cross joins must plan as BroadcastNestedLoopJoin.
+"""
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_QUERIES = sorted(entrymod.queries())
+
+# streaming entries can't render a batch physical plan the same way
+_SKIP = {"stream_events_window", "stream_stateful_sessionize"}
+
+
+def _plan(spark, name):
+    df = entrymod.queries()[name](spark, SF_DIR)
+    if df.isStreaming:
+        return None
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", [q for q in _QUERIES if q not in _SKIP])
+def test_no_rowwise_python_and_no_cartesian(name, spark):
+    plan = _plan(spark, name)
+    if plan is None:
+        pytest.skip("streaming plan")
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    assert "CartesianProduct" not in plan, f"{name}: unbroadcast cross join"
