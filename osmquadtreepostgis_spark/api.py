@@ -63,7 +63,15 @@ def write_to_tables(
     views: [...], errors: path|None}.
 
     ``dry_run`` is the reference's connstring=='null' counting sink:
-    compute per-table row counts, write nothing."""
+    compute per-table row counts, write nothing.
+
+    Scale note: each table's write re-scans the elements source rather
+    than caching the routed frame — deliberate: Catalyst prunes each
+    scan to that table's columns (a cache would materialize EVERY
+    column for every row), and the per-table filter pushes into the
+    scan. The reference's single-pass-all-tables shape exists because
+    its source is a one-shot stream; parquet re-reads are cheap and
+    pruned."""
     style = style or DEFAULT_STYLE
     if lowzoom is None:
         lowzoom = DEFAULT_LOWZOOM
