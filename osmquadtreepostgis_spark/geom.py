@@ -433,12 +433,14 @@ def repair_ring(ring: np.ndarray) -> list[np.ndarray] | None:
     node-crossing class (bowties, figure-eights).
 
     Method: insert every proper pairwise segment intersection as a
-    vertex (snapped to 1e-9 so both crossing segments agree on the
-    node), then walk the closed vertex sequence extracting a loop each
-    time a node repeats (the classic untwisting traversal). Degenerate
-    loops (area ~ 0) are dropped. Returns the simple sub-rings, or
-    None when the result still isn't simple (caller quarantines —
-    flag-only behavior is the fallback, never silence)."""
+    vertex (the INSERTED nodes are snapped to 1e-9 so both crossing
+    segments agree on the node; original vertices keep their exact
+    coordinates — snapping them could move one onto another edge),
+    then walk the closed vertex sequence extracting a loop each time a
+    node repeats (the classic untwisting traversal). Degenerate loops
+    (area ~ 0) are dropped. Returns the simple sub-rings, or None when
+    the result still isn't simple (caller quarantines — flag-only
+    behavior is the fallback, never silence)."""
     r = np.asarray(ring, dtype=np.float64)
     if len(r) and (r[0] == r[-1]).all():
         r = r[:-1]
@@ -461,7 +463,7 @@ def repair_ring(ring: np.ndarray) -> list[np.ndarray] | None:
                 inserts[j].append((tj, pt))
     walk: list[tuple[float, float]] = []
     for i in range(n):
-        walk.append((round(float(r[i][0]), 9), round(float(r[i][1]), 9)))
+        walk.append((float(r[i][0]), float(r[i][1])))
         for _, pt in sorted(inserts[i], key=lambda x: x[0]):
             walk.append((round(float(pt[0]), 9), round(float(pt[1]), 9)))
     # untwisting traversal: pop a loop whenever a node repeats

@@ -123,6 +123,8 @@ def test_repair_ring_invariants(pts):
     repaired rings always split into simple parts whose total absolute
     area is positive; repair never raises on proper-crossing input."""
     ring = np.array(pts, dtype=np.float64)
+    if (ring[0] == ring[-1]).all():
+        ring = ring[:-1]  # drop explicit closure (repair_ring does too)
     # drop consecutive duplicates (degenerate edges)
     keep = np.ones(len(ring), dtype=bool)
     keep[1:] = (np.abs(np.diff(ring, axis=0)).sum(axis=1) > 1e-9)
