@@ -62,6 +62,7 @@ def main() -> None:
     qs = entrymod.queries()
     for name in [
         "flagship_tiles",
+        "mine_entities",
         "cell_encode",
         "tile_agg",
         "pip_points_in_boxes",
@@ -73,6 +74,11 @@ def main() -> None:
         "routing_extended",
         "style_spec_routing",
         "sql_surface_cells",
+        "tag_pivot_residual",
+        "zorder_minzoom",
+        "union_roads",
+        "semi_anti_join",
+        "asof_events_orders",
         "pricing_summary",
         "revenue_by_nation",
         "top_orders_window",
@@ -97,6 +103,7 @@ def main() -> None:
         "rollup_pricing",
         "salted_tile_agg",
         "stream_events_window",
+        "stream_stateful_sessionize",
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
