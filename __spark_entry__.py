@@ -270,8 +270,11 @@ def q_raster_vectorize(spark, sf):
     )
 
     d = doc_coords(_docs(spark, sf).select("doc_id"))
-    raster = rasterize_points(d, depth=6)
-    return vectorize_cells(raster, depth=6, min_count=3).select(
+    # depth 4 (256 cells) keeps the thresholded result NON-VACUOUS at
+    # every SF (hash-uniform coords: ~2 docs/cell at sf0.01 -> ~90
+    # cells pass min_count=3; depth 6 yielded 0 rows = a vacuous check)
+    raster = rasterize_points(d, depth=4)
+    return vectorize_cells(raster, depth=4, min_count=3).select(
         "cell", "n", "x", "y", "lon_min", "lon_max", "v_min", "v_max"
     )
 
@@ -970,19 +973,19 @@ def oracle_sql() -> dict[str, str]:
         "raster_vectorize": f"""
             WITH {_DOCS_CTE},
             raster AS (
-              SELECT {qt.sql_point_to_cell('lon', 'lat', 6)} AS cell,
+              SELECT {qt.sql_point_to_cell('lon', 'lat', 4)} AS cell,
                      count(*) AS n
               FROM docs GROUP BY 1),
             kept AS (SELECT cell, n FROM raster WHERE n >= 3),
             xy AS (SELECT cell, n,
-                          {qt.sql_cell_to_xy('cell', 6)[0]} AS x,
-                          {qt.sql_cell_to_xy('cell', 6)[1]} AS y
+                          {qt.sql_cell_to_xy('cell', 4)[0]} AS x,
+                          {qt.sql_cell_to_xy('cell', 4)[1]} AS y
                    FROM kept)
             SELECT cell, n, x, y,
-                   x / 64 * 360.0 - 180.0 AS lon_min,
-                   (x + 1) / 64 * 360.0 - 180.0 AS lon_max,
-                   y / 64.0 AS v_min,
-                   (y + 1) / 64.0 AS v_max
+                   x / 16 * 360.0 - 180.0 AS lon_min,
+                   (x + 1) / 16 * 360.0 - 180.0 AS lon_max,
+                   y / 16.0 AS v_min,
+                   (y + 1) / 16.0 AS v_max
             FROM xy""",
         "union_roads": f"""
             WITH el AS ({el}),
