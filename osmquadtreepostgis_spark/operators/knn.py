@@ -315,10 +315,12 @@ def ann_cosine_pairs_blocked(
     """All id<id2 pairs with cosine >= threshold via broadcast matrix +
     per-batch numpy GEMM (one mapInArrow pass, no join).
 
-    ~15-50x faster than the expression-tree cosine (higher-order
-    functions are interpreted per element); use when one side fits in
-    a broadcast (tens of millions of rows x small dims). The
-    all-pairs-too-big case is ann_cosine_ivf.
+    BROADCASTABLE-SIDE variant only: it collects the table to the
+    driver and broadcasts the matrix — correct and fastest when the
+    table is dimension-table-sized, a driver-OOM scale-killer
+    otherwise. The DEFAULT all-pairs operator is ann_cosine_pairs_grid
+    (distributed block-pair cogroup GEMM, no driver state); the
+    high-threshold near-dup path is ann_cosine_pairs_lsh.
     """
     import numpy as np
     import pyarrow as pa

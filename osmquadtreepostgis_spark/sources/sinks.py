@@ -23,6 +23,7 @@ __all__ = [
     "write_tables_parquet",
     "write_tables_csv_gz",
     "write_tables_copy_text",
+    "write_tee",
     "write_tables_jdbc",
     "hstore_literal",
     "copy_text_row",
@@ -185,6 +186,28 @@ def write_tables_jdbc(
         )
         written.append(f"{table_prefix}{t}")
     return written
+
+
+def write_tee(
+    routed: DataFrame,
+    parquet_dir: str,
+    copy_dir: str,
+    table_col: str = "table",
+) -> dict[str, dict[str, str]]:
+    """The reference's re-pack TEE (S7): while loading PostGIS it can
+    simultaneously re-pack the stream to a PBF file (``params.outfn``,
+    src/processpostgis.cpp:127-129). Spark analog: persist the routed
+    frame once and drive BOTH sinks from the same materialization —
+    parquet (primary) + COPY text (the PG-loadable secondary)."""
+    routed = routed.persist()
+    try:
+        out = {
+            "parquet": write_tables_parquet(routed, parquet_dir, table_col),
+            "copy": write_tables_copy_text(routed, copy_dir, table_col),
+        }
+    finally:
+        routed.unpersist()
+    return out
 
 
 def dry_run_counts(routed: DataFrame, table_col: str = "table") -> DataFrame:

@@ -152,3 +152,25 @@ def test_lowzoom_multiple_cutoffs_no_nesting(spark):
     )
     assert not [n for n in names if n.count("_lz") > 1], names
     assert "tnest_line_lz6" in names and "tnest_line_lz10" in names
+
+
+def test_write_tee_both_sinks_from_one_materialization(spark, tmp_path):
+    """S7 re-pack tee: parquet + COPY text written from one persisted
+    routed frame, same rows in both."""
+    from osmquadtreepostgis_spark.sources.sinks import write_tee
+
+    routed = spark.createDataFrame(
+        [("line", 1, "a"), ("line", 2, None), ("point", 3, "c")],
+        "table string, osm_id long, name string",
+    )
+    out = write_tee(routed, str(tmp_path / "pq"), str(tmp_path / "cp"))
+    assert set(out["parquet"]) == {"line", "point"}
+    assert spark.read.parquet(out["parquet"]["line"]).count() == 2
+    import glob
+    import gzip
+
+    lines = []
+    for f in glob.glob(out["copy"]["line"] + "/part-*.gz"):
+        with gzip.open(f, "rt") as fh:
+            lines += [ln for ln in fh if ln.strip()]
+    assert len(lines) == 2
