@@ -126,6 +126,14 @@ def pages_pipeline(
     if index is None:
         index = PolygonIndex.from_polygons_df(fixtures.polygons_df(spark), depth=6)
     mentions = mine_coordinate_mentions(pages)
+    # pre-hash the url JVM-side BEFORE the fused Python stage: the
+    # downstream aggregate only needs url for approx_count_distinct,
+    # which hashes anyway — an int64 through Arrow instead of a ~50-byte
+    # string shrinks the Python-stage traffic (the pipeline's dominant
+    # memory-bandwidth consumer at high core counts)
+    mentions = mentions.select(
+        F.xxhash64("url").alias("url_h"), "entity", "lon", "lat"
+    )
     hits = encode_pip_tile(mentions, index, CELL_DEPTH, TILE_DEPTH)
     # approx_count_distinct (HLL): map-side-combinable sketch state —
     # exact countDistinct over billions of hit rows would expand the
@@ -134,6 +142,6 @@ def pages_pipeline(
     # checked documents_pipeline keeps exact distincts at small scale
     return hits.groupBy("tile", "poly_id").agg(
         F.count(F.lit(1)).alias("n_mentions"),
-        F.approx_count_distinct("url").alias("n_pages_approx"),
+        F.approx_count_distinct("url_h").alias("n_pages_approx"),
         F.approx_count_distinct("entity").alias("n_entities_approx"),
     )
