@@ -75,28 +75,60 @@ def _burn(_):
     return x
 
 
-def cpu_calibration() -> dict:
-    """Hardware parallel-scaling ceiling of this box: the same pure-
-    python integer kernel at N and 4N processes. Single-host CPUs
-    downclock as more cores activate (and VMs overcommit), so even a
-    perfectly parallel job cannot show 4.0x wall speedup here — this
-    measures the attainable ceiling the pipeline should be judged
-    against (a real N->4N EXECUTOR scale-out adds machines, not
-    sibling cores, and does not pay this penalty)."""
+def _stream(_):
+    """Memory-bandwidth-bound kernel: stream 200 MB read+write x6."""
+    import numpy as np
+
+    a = np.random.default_rng(0).integers(0, 255, 200_000_000, dtype=np.uint8)
+    s = 0
+    for _ in range(6):
+        b = a.copy()
+        s += int(b[::4096].sum())
+    return s
+
+
+def _kernel_ceiling(fn, tasks_per_proc: int = 1) -> dict:
     import multiprocessing as mp
 
     out = {}
     for n in LEVELS:
         with mp.Pool(n) as p:
             t0 = time.perf_counter()
-            p.map(_burn, range(n * 3))
+            p.map(fn, range(n * tasks_per_proc))
             out[n] = time.perf_counter() - t0
     # tasks scale with n, so equal wall time == perfect scaling
     ceiling = out[LEVELS[0]] / out[LEVELS[1]]
     return {
         "wall_N": round(out[LEVELS[0]], 2),
         "wall_4N_4x_tasks": round(out[LEVELS[1]], 2),
-        "hardware_ceiling_efficiency": round(min(ceiling, 1.0), 3),
+        "efficiency": round(min(ceiling, 1.0), 3),
+    }
+
+
+def cpu_calibration() -> dict:
+    """Hardware parallel-scaling ceilings of this box, measured with
+    two kernels at N vs 4N processes (tasks scale with procs, so equal
+    wall == perfect scaling):
+
+    * compute-bound (pure-python integer loop, cache-resident) —
+      captures frequency scaling / VM overcommit;
+    * memory-bandwidth-bound (numpy 200 MB stream copy) — captures the
+      shared memory-controller saturation of sibling cores.
+
+    The pipeline streams GBs through parquet decode, regex, and Arrow,
+    so its attainable ceiling lies BETWEEN the two kernels. Sibling
+    cores on one socket share the memory subsystem; a real N->4N
+    EXECUTOR scale-out adds machines (independent memory channels) and
+    does not pay the bandwidth penalty — which is why the dataflow's
+    efficiency must be judged against these ceilings, not against a
+    free 4.0x."""
+    comp = _kernel_ceiling(_burn, 3)
+    bw = _kernel_ceiling(_stream, 1)
+    return {
+        "compute_kernel": comp,
+        "bandwidth_kernel": bw,
+        "hardware_ceiling_efficiency": comp["efficiency"],
+        "bandwidth_ceiling_efficiency": bw["efficiency"],
     }
 
 
@@ -158,14 +190,45 @@ def main() -> None:
         "scaling_efficiency_vs_hardware_ceiling": round(
             min(speedup / ceiling_speedup, 1.0), 3
         ),
+        "scaling_efficiency_vs_bandwidth_ceiling": round(
+            min(
+                speedup
+                / ((n4 / n) * calib["bandwidth_ceiling_efficiency"]),
+                1.0,
+            ),
+            3,
+        ),
     }
     print(json.dumps(summary))
     with open(os.path.join(REPO, "BENCH", "scaling_results.json"), "w") as f:
         json.dump(summary, f, indent=2)
 
 
+def recalibrate() -> None:
+    """Re-measure the hardware calibrations and merge into the
+    existing results file (the pipeline timings are untouched)."""
+    path = os.path.join(REPO, "BENCH", "scaling_results.json")
+    with open(path) as f:
+        summary = json.load(f)
+    n, n4 = LEVELS
+    calib = cpu_calibration()
+    speedup = summary["speedup_Nto4N"]
+    summary["hardware_calibration"] = calib
+    summary["scaling_efficiency_vs_hardware_ceiling"] = round(
+        min(speedup / ((n4 / n) * calib["hardware_ceiling_efficiency"]), 1.0), 3
+    )
+    summary["scaling_efficiency_vs_bandwidth_ceiling"] = round(
+        min(speedup / ((n4 / n) * calib["bandwidth_ceiling_efficiency"]), 1.0), 3
+    )
+    print(json.dumps(summary))
+    with open(path, "w") as f:
+        json.dump(summary, f, indent=2)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--calibrate":
+        recalibrate()
     else:
         main()
