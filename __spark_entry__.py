@@ -448,6 +448,13 @@ def q_dedup_ngram_jaccard(spark, sf):
     return DD.ngram_jaccard_pairs(_docs(spark, sf), threshold=0.5, n=3)
 
 
+def q_dedup_spans(spark, sf):
+    """Exact duplicate-substring spans (the passage-level training-data
+    dedup): maximal per-doc token intervals covered by 5-grams that
+    occur more than once in the corpus."""
+    return DD.duplicate_spans(_docs(spark, sf), n=5)
+
+
 def q_dedup_minhash_lsh(spark, sf):
     return DD.minhash_lsh_pairs(_docs(spark, sf), n_hashes=16, bands=4, n=3)
 
@@ -772,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _shipped(q_dedup_exact),
         "dedup_ngram_jaccard": _shipped(q_dedup_ngram_jaccard),
         "dedup_minhash_lsh": _shipped(q_dedup_minhash_lsh),
+        "dedup_spans": _shipped(q_dedup_spans),
         "dedup_simhash": _shipped(q_dedup_simhash),
         "embed_cosine_pairs": _shipped(q_embed_cosine_pairs),
         "embed_topk": _shipped(q_embed_topk),
@@ -1079,6 +1087,34 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) - 1 AS n_dupes
             FROM documents GROUP BY text""",
+        # positional 5-grams -> global occurrence count -> keep >1 ->
+        # interval-union span merge (new span iff pos > lag(pos)+4)
+        "dedup_spans": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            grams AS (
+              SELECT doc_id, cast(i as bigint) AS pos,
+                     array_to_string(t[i:i+4], ' ') AS g
+              FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
+              WHERE len(t) >= 5),
+            dup AS (
+              SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY g) AS cnt
+              FROM grams QUALIFY cnt > 1),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(CASE WHEN prev IS NULL OR pos > prev + 4
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM (SELECT doc_id, pos,
+                           lag(pos) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS prev
+                    FROM dup))
+            SELECT doc_id,
+                   min(pos) AS span_start,
+                   max(pos) + 4 AS span_end,
+                   max(pos) + 4 - min(pos) + 1 AS n_tokens
+            FROM isl GROUP BY doc_id, island""",
         "dedup_ngram_jaccard": f"""
             WITH sh AS (SELECT doc_id AS id, {sql_word_shingles('text', 3)} AS s
                         FROM documents),

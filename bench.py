@@ -95,6 +95,7 @@ def main() -> None:
         "dedup_exact",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
+        "dedup_spans",
         "dedup_simhash",
         "embed_cosine_pairs",
         "embed_topk",

@@ -32,6 +32,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",
+    "duplicate_spans",
 ]
 
 
@@ -151,6 +152,75 @@ def ngram_jaccard_pairs(
         cand.withColumn("jaccard", j)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT duplicate-substring spans — the training-data dedup op
+    that removes verbatim repeated passages rather than whole
+    documents: every maximal per-doc token interval covered by
+    ``n``-gram substrings that occur MORE THAN ONCE in the corpus.
+
+    Output: (doc_id, span_start, span_end, n_tokens) with 1-based
+    token positions, end inclusive. Overlapping duplicated n-gram
+    extents merge via interval union (a position starts a new span iff
+    it begins past the previous gram's covered end — with sorted
+    positions the running covered-end is lag(pos)+n-1).
+
+    Scale shape: positional n-grams via ONE higher-order transform +
+    explode (no per-row Python); global occurrence counts via a window
+    over the gram key (one content-keyed shuffle); span merge via an
+    id-partitioned window (second shuffle). No driver state, no joins.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    k = F.size("__toks")
+    idx = F.when(k >= n, F.sequence(F.lit(1), k - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.concat_ws(
+                " ", *[F.element_at("__toks", i + j) for j in range(n)]
+            ).alias("g"),
+        ),
+    )
+    ex = toks.select("id", F.explode(grams).alias("t")).select(
+        "id", F.col("t.pos").alias("pos"), F.col("t.g").alias("g")
+    )
+    wg = Window.partitionBy("g")
+    dup = ex.withColumn("__cnt", F.count(F.lit(1)).over(wg)).filter(
+        F.col("__cnt") > 1
+    )
+    wdoc = Window.partitionBy("id").orderBy("pos")
+    new_island = F.when(
+        F.lag("pos").over(wdoc).isNull()
+        | (F.col("pos") > F.lag("pos").over(wdoc) + (n - 1)),
+        1,
+    ).otherwise(0)
+    islands = dup.withColumn(
+        "__island", F.sum(new_island).over(wdoc)
+    )
+    return (
+        islands.groupBy(F.col("id").alias(id_col), "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (n - 1)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
+        )
     )
 
 

@@ -183,3 +183,24 @@ def test_round5_formatter_matches_repr(vals):
     want = [repr(round(float(v), 5)) for v in x]
     got = _round5_str(x).tolist()
     assert got == want
+
+
+def test_duplicate_spans_handmade(spark):
+    """Two docs share an 8-token passage; a third is unique. Expected:
+    one exact span per sharing doc covering exactly the passage
+    (interval union of its four 5-gram extents), nothing else."""
+    from osmquadtreepostgis_spark.operators.dedup import duplicate_spans
+
+    shared = "the quick brown fox jumps over the lazy"
+    rows = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"one two three four {shared}"),
+        (3, "entirely unique words nothing repeated here at all okay"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"])
+        for r in duplicate_spans(df, n=5).collect()
+    )
+    # doc 1: passage at tokens 3..10; doc 2: tokens 5..12
+    assert got == [(1, 3, 10, 8), (2, 5, 12, 8)]
