@@ -482,6 +482,31 @@ def q_embed_topk(spark, sf):
     return KNN.ann_cosine_topk(emb, q, k=10).select("q_id", "vec_id", "rank")
 
 
+def q_quality_filter(spark, sf):
+    """C4-style auditable quality rules (corpus curation): per-rule
+    booleans + keep, all RE2-safe so the oracle matches exactly."""
+    from osmquadtreepostgis_spark.operators.corpus import quality_filter
+
+    return quality_filter(_docs(spark, sf), min_words=20).select(
+        "doc_id", "r_min_words", "r_max_mean_wl", "r_min_mean_wl",
+        "r_symbol_ratio", "keep",
+    )
+
+
+def q_sample_stratified(spark, sf):
+    """Deterministic stratified sampling (data mixing): per-lang rates
+    via the portable md5-int64 bucket — reproducible across runs and
+    cluster sizes, oracle-identical."""
+    from osmquadtreepostgis_spark.operators.corpus import sample_stratified
+
+    return sample_stratified(
+        _docs(spark, sf),
+        rates={"en": 0.5, "de": 0.25, "fr": 1.0},
+        key="lang",
+        salt=7,
+    ).select("doc_id", "lang")
+
+
 def q_text_analysis(spark, sf):
     d = _docs(spark, sf)
     return d.select(
@@ -784,6 +809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_pairs": _shipped(q_embed_cosine_pairs),
         "embed_topk": _shipped(q_embed_topk),
         "text_analysis": _shipped(q_text_analysis),
+        "quality_filter": _shipped(q_quality_filter),
+        "sample_stratified": _shipped(q_sample_stratified),
         "multimodal_meta": _shipped(q_multimodal_meta),
         "multimodal_frames": _shipped(q_multimodal_frames),
         "overlay_pairs": _shipped(q_overlay_pairs),
@@ -1174,6 +1201,35 @@ def oracle_sql() -> dict[str, str]:
                    {TX.sql_quality_score('text')} AS quality,
                    {TX.sql_fingerprint('text')} AS fp
             FROM documents""",
+        "quality_filter": """
+            WITH q AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_words,
+                     length(replace(text, ' ', '')) AS total_chars,
+                     length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                       AS symbols
+              FROM documents),
+            r AS (
+              SELECT doc_id,
+                     n_words >= 20 AS r_min_words,
+                     total_chars / greatest(n_words, 1) <= 12.0
+                       AS r_max_mean_wl,
+                     total_chars / greatest(n_words, 1) >= 2.0
+                       AS r_min_mean_wl,
+                     symbols / greatest(total_chars, 1) <= 0.3
+                       AS r_symbol_ratio
+              FROM q)
+            SELECT doc_id, r_min_words, r_max_mean_wl, r_min_mean_wl,
+                   r_symbol_ratio,
+                   (r_min_words AND r_max_mean_wl AND r_min_mean_wl
+                    AND r_symbol_ratio) AS keep
+            FROM r""",
+        "sample_stratified": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE ({sql_md5_int64("cast(doc_id as varchar) || ':7'")})
+                  % 1000000
+                  < (CASE lang WHEN 'de' THEN 0.25 WHEN 'en' THEN 0.5
+                     WHEN 'fr' THEN 1.0 ELSE 0.0 END) * 1000000""",
         "multimodal_meta": """
             SELECT doc_id,
                    cast(octet_length(encode(text)) as bigint) AS n_bytes,

@@ -100,6 +100,8 @@ def main() -> None:
         "embed_cosine_pairs",
         "embed_topk",
         "text_analysis",
+        "quality_filter",
+        "sample_stratified",
         "multimodal_meta",
         "multimodal_frames",
         "overlay_pairs",

@@ -1,0 +1,137 @@
+"""Corpus curation operators: quality filtering, deterministic
+stratified sampling, and sequence packing — the pipeline steps between
+dedup and training that the BASELINE mandate's "large-scale
+training-data pipeline" needs.
+
+All pure-Column except packing (per-partition greedy bin packing, an
+inherently sequential decision — one mapInPandas pass, documented).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["quality_filter", "sample_stratified", "pack_sequences"]
+
+def quality_filter(
+    df: DataFrame,
+    min_words: int = 10,
+    max_mean_word_len: float = 12.0,
+    min_mean_word_len: float = 2.0,
+    max_symbol_ratio: float = 0.3,
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style document quality rules as AUDITABLE columns:
+    per-rule booleans + the final ``keep``. Pure-Column (split,
+    lengths, regexp) — Catalyst keeps it in codegen; at 100 TB the
+    filter pushes into the same scan as the rest of the pipeline.
+    Every rule is RE2-expressible so the DuckDB oracle computes the
+    identical booleans (no backreferences)."""
+    toks = F.split(F.col(text_col), " ")
+    n_words = F.size(toks).cast("long")
+    # mean word length over non-empty tokens
+    total_chars = F.length(F.regexp_replace(F.col(text_col), " ", ""))
+    mean_wl = total_chars / F.greatest(n_words, F.lit(1))
+    # non-alphanumeric (symbol) fraction of the non-space text
+    symbols = F.length(
+        F.regexp_replace(F.col(text_col), r"[A-Za-z0-9 ]", "")
+    )
+    symbol_ratio = symbols / F.greatest(total_chars, F.lit(1))
+    rules = {
+        "r_min_words": n_words >= min_words,
+        "r_max_mean_wl": mean_wl <= max_mean_word_len,
+        "r_min_mean_wl": mean_wl >= min_mean_word_len,
+        "r_symbol_ratio": symbol_ratio <= max_symbol_ratio,
+    }
+    out = df
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+    keep: Column = F.lit(True)
+    for name in rules:
+        keep = keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
+def sample_stratified(
+    df: DataFrame,
+    rates: dict[str, float],
+    key: str = "lang",
+    id_col: str = "doc_id",
+    salt: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling (the data-mixing step:
+    up/down-weight languages or sources). A row survives iff
+    ``md5_int64(id || ':' || salt) % 1_000_000 < rate(key) * 1e6`` —
+    reproducible across runs/cluster sizes (no RNG state), exact for
+    rates in millionths, and a pure-Column filter that pushes into the
+    scan. Different ``salt`` values draw independent samples. md5 (not
+    xxhash64) so the DuckDB oracle computes the identical buckets —
+    the portable-hash idiom the sketches already use."""
+    rate: Column = F.lit(float(default_rate))
+    for k, r in sorted(rates.items()):
+        rate = F.when(F.col(key) == k, F.lit(float(r))).otherwise(rate)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{salt}"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    bucket = F.pmod(h, F.lit(1_000_000))
+    return df.filter(bucket < (rate * 1_000_000))
+
+
+def pack_sequences(
+    df: DataFrame,
+    context_len: int,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+) -> DataFrame:
+    """Greedy sequence packing: assign docs to training context windows
+    of ``context_len`` tokens, first-fit in id order WITHIN each
+    partition (packing is inherently a sequential decision; per-
+    partition greedy is the standard distributed compromise — pack ids
+    are globally unique via the partition id prefix). Docs longer than
+    the context get their own pack, truncation left to the caller.
+
+    Output: (id, pack_id, pack_offset) — one mapInPandas pass,
+    Arrow-batched, no shuffle (pack within arriving partitions; add a
+    repartitionByRange upstream to pack in a specific global order)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("pack_id", T.LongType(), False),
+            T.StructField("pack_offset", T.LongType(), False),
+        ]
+    )
+
+    def pack(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        base = pid * 10_000_000
+        cur_pack, cur_fill = base, 0
+        for pdf in batches:
+            pdf = pdf.sort_values(id_col)
+            ids, packs, offs = [], [], []
+            for did, n in zip(pdf[id_col], pdf[count_col]):
+                n = int(min(n, context_len))
+                if cur_fill + n > context_len and cur_fill > 0:
+                    cur_pack += 1
+                    cur_fill = 0
+                ids.append(int(did))
+                packs.append(cur_pack)
+                offs.append(cur_fill)
+                cur_fill += n
+            yield pd.DataFrame(
+                {id_col: ids, "pack_id": packs, "pack_offset": offs}
+            )
+
+    return df.select(id_col, count_col).mapInPandas(pack, out_schema)

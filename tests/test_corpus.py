@@ -1,0 +1,82 @@
+"""Corpus curation: quality rules, stratified sampling determinism,
+sequence packing invariants."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osmquadtreepostgis_spark.operators.corpus import (
+    pack_sequences,
+    quality_filter,
+    sample_stratified,
+)
+
+
+def test_quality_filter_rules(spark):
+    rows = [
+        (1, "short text"),                                   # too few words
+        (2, " ".join(["word"] * 30)),                        # fine
+        (3, " ".join(["supercalifragilisticexpialidocious"] * 30)),  # long words
+        (4, " ".join(["a"] * 30)),                           # words too short
+        (5, " ".join(["@#$%^&*"] * 30)),                     # symbols
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in quality_filter(df, min_words=20).collect()}
+    assert not got[1]["r_min_words"] and not got[1]["keep"]
+    assert got[2]["keep"]
+    assert not got[3]["r_max_mean_wl"] and not got[3]["keep"]
+    assert not got[4]["r_min_mean_wl"]
+    assert not got[5]["r_symbol_ratio"]
+
+
+def test_sample_stratified_deterministic_and_rated(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"doc_id": np.arange(20000), "lang": ["en", "de"] * 10000}
+    )
+    df = spark.createDataFrame(pdf)
+    s1 = sample_stratified(df, {"en": 0.5, "de": 0.1}, salt=3)
+    s2 = sample_stratified(df, {"en": 0.5, "de": 0.1}, salt=3)
+    a = sorted(r["doc_id"] for r in s1.collect())
+    assert a == sorted(r["doc_id"] for r in s2.collect())  # deterministic
+    counts = {
+        r["lang"]: r["n"]
+        for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(counts["en"] / 10000 - 0.5) < 0.03
+    assert abs(counts["de"] / 10000 - 0.1) < 0.03
+    # a different salt draws a (mostly) different sample
+    s3 = sample_stratified(df, {"en": 0.5, "de": 0.1}, salt=4)
+    b = set(r["doc_id"] for r in s3.collect())
+    assert 0.1 < len(set(a) & b) / len(a) < 0.9
+    # rows with unlisted strata drop (default_rate=0)
+    pdf2 = pdf.assign(lang="xx")
+    assert sample_stratified(
+        spark.createDataFrame(pdf2), {"en": 0.5}
+    ).count() == 0
+
+
+def test_pack_sequences_invariants(spark):
+    import pandas as pd
+
+    rng = np.random.default_rng(4)
+    pdf = pd.DataFrame(
+        {"doc_id": np.arange(500), "n_tokens": rng.integers(10, 900, 500)}
+    )
+    df = spark.createDataFrame(pdf).repartition(4)
+    out = pack_sequences(df, context_len=2048).toPandas()
+    assert len(out) == 500
+    assert out.doc_id.nunique() == 500
+    joined = out.merge(pdf, on="doc_id")
+    joined["clipped"] = joined.n_tokens.clip(upper=2048)
+    g = joined.groupby("pack_id")
+    # packs never exceed the context, offsets tile contiguously
+    for pack_id, grp in g:
+        grp = grp.sort_values("pack_offset")
+        assert grp.pack_offset.iloc[0] == 0
+        ends = grp.pack_offset + grp.clipped
+        assert (grp.pack_offset.values[1:] == ends.values[:-1]).all()
+        assert ends.iloc[-1] <= 2048
+    # greedy first-fit actually packs (fewer packs than docs)
+    assert out.pack_id.nunique() < 500
