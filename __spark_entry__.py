@@ -482,6 +482,47 @@ def q_embed_topk(spark, sf):
     return KNN.ann_cosine_topk(emb, q, k=10).select("q_id", "vec_id", "rank")
 
 
+def q_embed_topk_ivf(spark, sf):
+    """The ANN SCALE path (anchor-bucket shuffle) oracle-checked at a
+    provably-exact config: with n_probe = n_anchors every query probes
+    every bucket, and since each vector lives in exactly one bucket the
+    candidate set is the full table — IVF degenerates to exact top-k,
+    so the brute-force oracle is the true answer (recall 1.0 by
+    construction, not by measurement). VERDICT r2 next-round #3; the
+    approximate configs' recall stays pytest-pinned."""
+    emb = load_table(spark, sf, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    return KNN.ann_cosine_ivf(
+        emb, q, k=10, n_anchors=16, n_probe=16
+    ).select("q_id", "vec_id", "rank")
+
+
+def q_fuzzy_name_lookup(spark, sf):
+    """Trigram fuzzy name lookup (the reference's gin trigram index /
+    ``name % 'query'`` analog): parts whose name is trigram-similar to
+    the typo'd query — a pure-Column predicate, no join/shuffle."""
+    from osmquadtreepostgis_spark.operators.fuzzy import name_similar
+
+    part = load_table(spark, sf, "part")
+    return name_similar(part, "smal widgett", 0.35, name_col="p_name").select(
+        "p_partkey", "similarity"
+    )
+
+
+def q_fuzzy_name_pairs(spark, sf):
+    """Trigram-similar name pairs across a table (typo/near-dup name
+    detection) via the shared prefix-filtered set-Jaccard join."""
+    from osmquadtreepostgis_spark.operators.fuzzy import similar_name_pairs
+
+    nation = load_table(spark, sf, "nation")
+    return similar_name_pairs(
+        nation, 0.7, name_col="n_name", id_col="n_nationkey"
+    )
+
+
 def q_quality_filter(spark, sf):
     """C4-style auditable quality rules (corpus curation): per-rule
     booleans + keep, all RE2-safe so the oracle matches exactly."""
@@ -808,6 +849,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _shipped(q_dedup_simhash),
         "embed_cosine_pairs": _shipped(q_embed_cosine_pairs),
         "embed_topk": _shipped(q_embed_topk),
+        "embed_topk_ivf": _shipped(q_embed_topk_ivf),
+        "fuzzy_name_lookup": _shipped(q_fuzzy_name_lookup),
+        "fuzzy_name_pairs": _shipped(q_fuzzy_name_pairs),
         "text_analysis": _shipped(q_text_analysis),
         "quality_filter": _shipped(q_quality_filter),
         "sample_stratified": _shipped(q_sample_stratified),
@@ -837,6 +881,12 @@ def _mine_cte() -> str:
               as bigint) AS n_occurrences
   FROM documents d CROSS JOIN {_GAZ}
 )"""
+
+
+def _sql_tri(expr: str) -> str:
+    from osmquadtreepostgis_spark.operators.fuzzy import sql_char_trigrams
+
+    return sql_char_trigrams(expr)
 
 
 def _sig_sql() -> str:
@@ -1195,6 +1245,43 @@ def oracle_sql() -> dict[str, str]:
                        FROM scored)
             SELECT q_id, vec_id, cast(rank as bigint) AS rank
             FROM ranked WHERE rank <= 10""",
+        # IVF at n_probe = n_anchors degenerates to exact (every bucket
+        # probed, each vector in exactly one bucket), so the brute
+        # top-k oracle is the true answer for the scale-path plan too
+        "embed_topk_ivf": f"""
+            WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+                       WHERE vec_id < 5),
+            scored AS (
+              SELECT q.q_id, b.vec_id, {cos.replace('a.embedding', 'q.embedding')} AS cs
+              FROM q CROSS JOIN embeddings b),
+            ranked AS (SELECT q_id, vec_id,
+                              row_number() OVER (PARTITION BY q_id
+                                ORDER BY cs DESC, vec_id ASC) AS rank
+                       FROM scored)
+            SELECT q_id, vec_id, cast(rank as bigint) AS rank
+            FROM ranked WHERE rank <= 10""",
+        "fuzzy_name_lookup": f"""
+            WITH t AS (SELECT p_partkey,
+                              {_sql_tri("p_name")} AS tri,
+                              {_sql_tri("'smal widgett'")} AS qt
+                       FROM part),
+            s AS (SELECT p_partkey,
+                         cast(len(list_intersect(tri, qt)) as double) /
+                         (len(tri) + len(qt) - len(list_intersect(tri, qt)))
+                           AS sim
+                  FROM t)
+            SELECT p_partkey, round(sim, 4) AS similarity
+            FROM s WHERE sim >= 0.35""",
+        "fuzzy_name_pairs": f"""
+            WITH t AS (SELECT n_nationkey AS id, {_sql_tri("n_name")} AS tri
+                       FROM nation),
+            p AS (SELECT a.id AS id_a, b.id AS id_b,
+                         cast(len(list_intersect(a.tri, b.tri)) as double) /
+                         (len(a.tri) + len(b.tri)
+                          - len(list_intersect(a.tri, b.tri))) AS j
+                  FROM t a JOIN t b ON a.id < b.id)
+            SELECT id_a, id_b, round(j, 4) AS jaccard
+            FROM p WHERE j >= 0.7""",
         "text_analysis": f"""
             SELECT doc_id,
                    {TX.sql_token_count('text')} AS n_tokens,

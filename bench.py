@@ -99,6 +99,9 @@ def main() -> None:
         "dedup_simhash",
         "embed_cosine_pairs",
         "embed_topk",
+        "embed_topk_ivf",
+        "fuzzy_name_lookup",
+        "fuzzy_name_pairs",
         "text_analysis",
         "quality_filter",
         "sample_stratified",

@@ -30,6 +30,7 @@ from ..functions.text import fingerprint
 __all__ = [
     "dedup_exact",
     "ngram_jaccard_pairs",
+    "set_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "duplicate_spans",
@@ -90,9 +91,19 @@ def ngram_jaccard_pairs(
     toks = df.select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks")
     )
-    sh = toks.select(
-        "id", word_shingles_tokens(F.col("__toks"), n).alias("__sh")
-    ).withColumn("__size", F.size("__sh"))
+    sh = toks.select("id", word_shingles_tokens(F.col("__toks"), n).alias("__sh"))
+    return set_jaccard_pairs(sh, threshold)
+
+
+def set_jaccard_pairs(sets: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filtered exact set-Jaccard self-join over a frame of
+    (id, __sh: array<string>) element sets — the shared core of
+    :func:`ngram_jaccard_pairs` (word shingles) and
+    :func:`..operators.fuzzy.similar_name_pairs` (char trigrams).
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded
+    4dp. Semantics and scale shape documented on
+    :func:`ngram_jaccard_pairs`."""
+    sh = sets.select("id", "__sh").withColumn("__size", F.size("__sh"))
     ex = sh.select("id", "__size", F.explode("__sh").alias("__s"))
     # document frequency per shingle: two-phase groupBy + equi-join
     # back, NOT Window.partitionBy("__s") — a window partition cannot

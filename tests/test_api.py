@@ -64,7 +64,7 @@ def test_full_lifecycle_writes_tables_views_ddl(spark, elements, tmp_path):
     with gzip.open(files[0], "rt") as fh:
         first = fh.readline().rstrip("\n").split("\t")
     assert len(first) == len(
-        spark.read.parquet(out["tables"]["line"]).columns
+        spark.read.parquet(out["tables"]["line"]).drop("__ptile").columns
     )
 
 
@@ -83,3 +83,44 @@ def test_custom_style_and_alloc(spark, elements, tmp_path):
     line = spark.read.parquet(out["tables"]["line"])
     assert line.count() == elements.count()  # custom alloc: all -> line
     assert "tags" not in line.columns  # no catch-all with other_keys
+
+
+def test_written_tables_are_clustered_and_pruned(spark, elements, tmp_path):
+    """write_to_tables writes through the clustered catalog layout
+    (VERDICT r2 #4): partition dirs on the coarse tile + in-file cell
+    sort, so a quadtree-range scan reads N-of-M files, not all of them.
+    The elements fixture has no geometry, so feed real quadtree keys
+    via the ObjectQuadtree provider (the caller contract)."""
+    from osmquadtreepostgis_spark.functions.cells import cell_encode_udf
+    from osmquadtreepostgis_spark.sources.catalog import read_cell_range
+
+    lon = (F.col("osm_id") % 360 - 180).cast("double") * 0.97
+    lat = (F.col("osm_id") % 160 - 80).cast("double") * 0.97
+    el = elements.withColumn("quadtree", cell_encode_udf(12)(lon, lat))
+    out = write_to_tables(
+        el,
+        str(tmp_path / "p"),
+        table_prefix="t_prune",
+        lowzoom=[],
+        providers={"ObjectQuadtree": F.col("quadtree")},
+    )
+    path = out["tables"]["point"]
+    full = spark.read.parquet(path)
+    qs = [r["quadtree"] for r in full.select("quadtree").collect()]
+    qs.sort()
+    lo, hi = qs[0], qs[max(0, len(qs) // 50)]  # bottom ~2% of the range
+
+    def files_read(d):
+        qe = d._jdf.queryExecution()
+        p = qe.executedPlan()
+        p.execute().count()
+        return p.collectLeaves().head().metrics().apply("numFiles").value()
+
+    pruned = read_cell_range(spark, path, lo, hi, cell_col="quadtree")
+    n_full = files_read(full)
+    n_pruned = files_read(pruned)
+    assert n_pruned < n_full, (n_pruned, n_full)
+    # and the rows under the range are exactly the filter's rows
+    assert pruned.count() == full.filter(
+        (full.quadtree >= lo) & (full.quadtree <= hi)
+    ).count()
