@@ -448,6 +448,18 @@ def q_dedup_ngram_jaccard(spark, sf):
     return DD.ngram_jaccard_pairs(_docs(spark, sf), threshold=0.5, n=3)
 
 
+def q_dedup_clusters(spark, sf):
+    """Transitive duplicate-cluster resolution: exact n-gram Jaccard
+    pairs -> connected components (alternating large/small-star, the
+    O(log n)-round MapReduce CC) -> one survivor per cluster. One row
+    per document: (doc_id, cluster_id, cluster_size, keep)."""
+    from osmquadtreepostgis_spark.operators.cluster import resolve_duplicates
+
+    docs = _docs(spark, sf)
+    pairs = DD.ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+    return resolve_duplicates(docs.select("doc_id"), pairs)
+
+
 def q_dedup_spans(spark, sf):
     """Exact duplicate-substring spans (the passage-level training-data
     dedup): maximal per-doc token intervals covered by 5-grams that
@@ -844,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stateful_sessionize": _shipped(q_stream_stateful_sessionize),
         "dedup_exact": _shipped(q_dedup_exact),
         "dedup_ngram_jaccard": _shipped(q_dedup_ngram_jaccard),
+        "dedup_clusters": _shipped(q_dedup_clusters),
         "dedup_minhash_lsh": _shipped(q_dedup_minhash_lsh),
         "dedup_spans": _shipped(q_dedup_spans),
         "dedup_simhash": _shipped(q_dedup_simhash),
@@ -1208,6 +1221,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b,
                    round(cast(i as double) / (sa + sb - i), 4) AS jaccard
             FROM inter WHERE cast(i as double) / (sa + sb - i) >= 0.5""",
+        "dedup_clusters": f"""
+            WITH RECURSIVE sh AS (SELECT doc_id AS id,
+                                         {sql_word_shingles('text', 3)} AS s
+                                  FROM documents),
+            sized AS (SELECT id, s, len(s) AS sz FROM sh),
+            ex AS (SELECT id, sz, unnest(s) AS tok FROM sized),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, a.sz AS sa, b.sz AS sb,
+                     count(*) AS i
+              FROM ex a JOIN ex b ON a.tok = b.tok AND a.id < b.id
+              GROUP BY 1, 2, 3, 4),
+            pairs AS (SELECT id_a, id_b FROM inter
+                      WHERE cast(i as double) / (sa + sb - i) >= 0.5),
+            e AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+            walk(id, r) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM e)
+              UNION
+              SELECT e.v, w.r FROM walk w JOIN e ON e.u = w.id),
+            lab AS (SELECT id, min(r) AS comp FROM walk GROUP BY id),
+            alldocs AS (SELECT d.doc_id,
+                               coalesce(l.comp, d.doc_id) AS cluster_id
+                        FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
+            sz2 AS (SELECT cluster_id, cast(count(*) AS bigint) AS n
+                    FROM alldocs GROUP BY cluster_id)
+            SELECT a.doc_id, a.cluster_id, sz2.n AS cluster_size,
+                   (a.doc_id = a.cluster_id) AS keep
+            FROM alldocs a JOIN sz2 USING (cluster_id)""",
         "dedup_minhash_lsh": f"""
             WITH sig AS ({_sig_sql()}),
             cand AS (

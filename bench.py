@@ -94,6 +94,7 @@ def main() -> None:
         "events_window_agg",
         "dedup_exact",
         "dedup_ngram_jaccard",
+        "dedup_clusters",
         "dedup_minhash_lsh",
         "dedup_spans",
         "dedup_simhash",
