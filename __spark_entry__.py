@@ -448,6 +448,29 @@ def q_dedup_ngram_jaccard(spark, sf):
     return DD.ngram_jaccard_pairs(_docs(spark, sf), threshold=0.5, n=3)
 
 
+_HTML_PRE = "<html><!-- c --><head><script>1<2</script></head><body><p>"
+_HTML_POST = "</p></body></html>"
+
+
+def q_html_extract(spark, sf):
+    """HTML -> text extraction (the input_hint invariant, exercised on
+    the shared sf tables): wrap each document's text in markup with
+    entity escaping, extract it back pure-Catalyst, assert byte
+    identity. Output: (doc_id, extracted, ok)."""
+    from osmquadtreepostgis_spark.functions.html import escape_html, extract_text
+
+    d = _docs(spark, sf)
+    html = F.concat(
+        F.lit(_HTML_PRE), escape_html(F.col("text")), F.lit(_HTML_POST)
+    )
+    ext = extract_text(html)
+    return d.select(
+        "doc_id",
+        ext.alias("extracted"),
+        (ext == F.col("text")).alias("ok"),
+    )
+
+
 def q_dedup_clusters(spark, sf):
     """Transitive duplicate-cluster resolution: exact n-gram Jaccard
     pairs -> connected components (alternating large/small-star, the
@@ -857,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _shipped(q_dedup_exact),
         "dedup_ngram_jaccard": _shipped(q_dedup_ngram_jaccard),
         "dedup_clusters": _shipped(q_dedup_clusters),
+        "html_extract": _shipped(q_html_extract),
         "dedup_minhash_lsh": _shipped(q_dedup_minhash_lsh),
         "dedup_spans": _shipped(q_dedup_spans),
         "dedup_simhash": _shipped(q_dedup_simhash),
@@ -936,6 +960,13 @@ def _simhash_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from osmquadtreepostgis_spark.functions.html import (
+        sql_escape_html,
+        sql_extract_text,
+    )
+
+    html_expr = f"'{_HTML_PRE}' || {sql_escape_html('text')} || '{_HTML_POST}'"
+    html_ext = sql_extract_text(html_expr)
     zo = RT.sql_z_order("highway")
     mz = RT.sql_minzoom("highway", "building", "boundary", "admin_level", "way_area")
     route = RT.sql_route_extended("geom_type", "building", "type_tag", zo)
@@ -1221,6 +1252,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b,
                    round(cast(i as double) / (sa + sb - i), 4) AS jaccard
             FROM inter WHERE cast(i as double) / (sa + sb - i) >= 0.5""",
+        "html_extract": f"""
+            SELECT doc_id, {html_ext} AS extracted,
+                   ({html_ext} = text) AS ok
+            FROM documents""",
         "dedup_clusters": f"""
             WITH RECURSIVE sh AS (SELECT doc_id AS id,
                                          {sql_word_shingles('text', 3)} AS s

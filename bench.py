@@ -103,6 +103,7 @@ def main() -> None:
         "embed_topk_ivf",
         "fuzzy_name_lookup",
         "fuzzy_name_pairs",
+        "html_extract",
         "text_analysis",
         "quality_filter",
         "sample_stratified",
