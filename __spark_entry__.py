@@ -448,6 +448,26 @@ def q_dedup_ngram_jaccard(spark, sf):
     return DD.ngram_jaccard_pairs(_docs(spark, sf), threshold=0.5, n=3)
 
 
+def q_repetition_signals(spark, sf):
+    """Gopher-style repetition quality signals per document (line
+    delimiter ' ' so token repeats exercise the duplicate-line path
+    non-vacuously on the single-line synthetic corpus)."""
+    from osmquadtreepostgis_spark.functions.repetition import (
+        dup_line_char_frac,
+        dup_line_frac,
+        dup_ngram_frac,
+        top_ngram_frac,
+    )
+
+    return _docs(spark, sf).select(
+        "doc_id",
+        F.round(dup_line_frac("text", " "), 4).alias("dup_line_frac"),
+        F.round(dup_line_char_frac("text", " "), 4).alias("dup_line_char_frac"),
+        F.round(top_ngram_frac("text", 2), 4).alias("top_2gram_frac"),
+        F.round(dup_ngram_frac("text", 2), 4).alias("dup_2gram_frac"),
+    )
+
+
 _HTML_PRE = "<html><!-- c --><head><script>1<2</script></head><body><p>"
 _HTML_POST = "</p></body></html>"
 
@@ -881,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _shipped(q_dedup_ngram_jaccard),
         "dedup_clusters": _shipped(q_dedup_clusters),
         "html_extract": _shipped(q_html_extract),
+        "repetition_signals": _shipped(q_repetition_signals),
         "dedup_minhash_lsh": _shipped(q_dedup_minhash_lsh),
         "dedup_spans": _shipped(q_dedup_spans),
         "dedup_simhash": _shipped(q_dedup_simhash),
@@ -957,6 +978,24 @@ def _simhash_sql() -> str:
         f"SELECT doc_id, ({' | '.join(terms)}) AS sh "
         f"FROM (SELECT doc_id, {hashed} AS h FROM documents)"
     )
+
+
+def _repetition_oracle() -> str:
+    from osmquadtreepostgis_spark.functions.repetition import (
+        sql_dup_line_char_frac,
+        sql_dup_line_frac,
+        sql_dup_ngram_frac,
+        sql_top_ngram_frac,
+    )
+
+    return f"""
+        SELECT doc_id,
+               round({sql_dup_line_frac('text', ' ')}, 4) AS dup_line_frac,
+               round({sql_dup_line_char_frac('text', ' ')}, 4)
+                 AS dup_line_char_frac,
+               round({sql_top_ngram_frac('text', 2)}, 4) AS top_2gram_frac,
+               round({sql_dup_ngram_frac('text', 2)}, 4) AS dup_2gram_frac
+        FROM documents"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1252,6 +1291,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b,
                    round(cast(i as double) / (sa + sb - i), 4) AS jaccard
             FROM inter WHERE cast(i as double) / (sa + sb - i) >= 0.5""",
+        "repetition_signals": _repetition_oracle(),
         "html_extract": f"""
             SELECT doc_id, {html_ext} AS extracted,
                    ({html_ext} = text) AS ok

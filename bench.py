@@ -104,6 +104,7 @@ def main() -> None:
         "fuzzy_name_lookup",
         "fuzzy_name_pairs",
         "html_extract",
+        "repetition_signals",
         "text_analysis",
         "quality_filter",
         "sample_stratified",

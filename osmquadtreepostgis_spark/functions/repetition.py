@@ -1,0 +1,189 @@
+"""Gopher-style repetition quality signals, pure-Column + DuckDB twins.
+
+Rae et al. 2021 ("Scaling Language Models: ... Gopher", §A1.1) filter
+web documents by REPETITION — duplicate lines and over-represented
+n-grams — on top of C4's structural rules (:mod:`..operators.corpus`
+implements those).  Four signals, each an exact per-document scalar:
+
+* :func:`dup_line_frac`      — fraction of lines that are repeats of
+  an earlier identical line (1 - distinct/total);
+* :func:`dup_line_char_frac` — fraction of characters living in lines
+  that occur more than once;
+* :func:`top_ngram_frac`     — fraction of tokens covered by the
+  single most frequent word n-gram (count x n / tokens, capped at 1);
+* :func:`dup_ngram_frac`     — fraction of n-gram occurrences that
+  are repeats (1 - distinct/total grams).
+
+All four are single-pass JVM Column expressions over the in-row
+line/gram arrays — no explode, no shuffle, whole-stage codegen; a
+quality gate composes them with plain ``filter``.  The duplicate-line
+and top-gram counts are quadratic in the number of DISTINCT in-doc
+elements (nested ``filter`` per element), which is the right trade
+for real documents (thousands of lines at most); a corpus of
+pathological single-document books would switch to the
+explode -> groupBy(doc, gram) -> max shape instead.
+
+``line_delim`` parameterizes line splitting (literal regex): '\\n'
+for real multi-line text; the oracle-checked query uses ' ' so the
+signal is exercised non-vacuously on the single-line synthetic docs
+(token-level duplicates are line-level duplicates under that
+delimiter — same code path, same semantics).
+
+The DuckDB twins are generated from the same shapes; both engines
+compute exact rationals of integer counts, so parity is exact (the
+query rounds 4dp only to stabilize the value-hash formatting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dup_line_frac",
+    "dup_line_char_frac",
+    "top_ngram_frac",
+    "dup_ngram_frac",
+    "sql_dup_line_frac",
+    "sql_dup_line_char_frac",
+    "sql_top_ngram_frac",
+    "sql_dup_ngram_frac",
+]
+
+
+def _col(text) -> Column:
+    return F.col(text) if isinstance(text, str) else text
+
+
+def _lines(text, delim: str) -> Column:
+    return F.split(_col(text), delim)
+
+
+def _grams(text, n: int) -> Column:
+    """ALL word n-grams with multiplicity (the dedup sketches use the
+    distinct variant in functions.sketches; repetition needs counts)."""
+    toks = F.split(_col(text), " ")
+    k = F.size(toks)
+    idx = F.when(k >= n, F.sequence(F.lit(1), k - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+
+
+def _dup_frac(arr: Column) -> Column:
+    n = F.size(arr)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(arr))) / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def dup_line_frac(text, line_delim: str = "\n") -> Column:
+    """Fraction of lines that are duplicates of another line."""
+    return _dup_frac(_lines(text, line_delim))
+
+
+def dup_line_char_frac(text, line_delim: str = "\n") -> Column:
+    """Fraction of characters in lines occurring more than once."""
+    lines = _lines(text, line_delim)
+    per_line = F.transform(
+        lines,
+        lambda x: F.when(
+            F.size(F.filter(lines, lambda y: y == x)) > 1, F.length(x)
+        ).otherwise(F.lit(0)),
+    )
+    dup_chars = F.aggregate(
+        per_line, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    total = F.aggregate(
+        F.transform(lines, F.length),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return F.when(total > 0, dup_chars / total.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def top_ngram_frac(text, n: int = 2) -> Column:
+    """Token share of the most frequent n-gram: count*n/tokens, <=1."""
+    grams = _grams(text, n)
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda x: F.size(F.filter(grams, lambda y: y == x)),
+    )
+    top = F.coalesce(F.array_max(counts), F.lit(0))
+    ntok = F.size(F.split(_col(text), " "))
+    return F.when(
+        (ntok > 0) & (top > 0),
+        F.least(F.lit(1.0), top * n / ntok.cast("double")),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_ngram_frac(text, n: int = 5) -> Column:
+    """Fraction of n-gram occurrences that are repeats."""
+    return _dup_frac(_grams(text, n))
+
+
+# --- DuckDB twins, same shapes ---------------------------------------------
+
+
+def _sql_lines(text: str, delim: str) -> str:
+    # F.split is a regex split; string_split_regex is the literal twin
+    d = delim.replace("\\", "\\\\").replace("'", "''")
+    return f"string_split_regex({text}, '{d}')"
+
+
+def _sql_grams(text: str, n: int) -> str:
+    toks = f"string_split({text}, ' ')"
+    parts = " || ' ' || ".join(f"({toks})[i + {j}]" for j in range(n))
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> {parts})"
+    )
+
+
+def _sql_dup_frac(arr: str) -> str:
+    return (
+        f"(CASE WHEN len({arr}) > 0 THEN "
+        f"(len({arr}) - len(list_distinct({arr}))) / cast(len({arr}) as double) "
+        f"ELSE 0.0 END)"
+    )
+
+
+def sql_dup_line_frac(text: str, line_delim: str = "\n") -> str:
+    return _sql_dup_frac(_sql_lines(text, line_delim))
+
+
+def sql_dup_line_char_frac(text: str, line_delim: str = "\n") -> str:
+    lines = _sql_lines(text, line_delim)
+    dup = (
+        f"list_sum(list_transform({lines}, x -> CASE WHEN "
+        f"len(list_filter({lines}, y -> y = x)) > 1 "
+        f"THEN length(x) ELSE 0 END))"
+    )
+    total = f"list_sum(list_transform({lines}, x -> length(x)))"
+    return (
+        f"(CASE WHEN coalesce({total}, 0) > 0 THEN "
+        f"coalesce({dup}, 0) / cast({total} as double) ELSE 0.0 END)"
+    )
+
+
+def sql_top_ngram_frac(text: str, n: int = 2) -> str:
+    grams = _sql_grams(text, n)
+    counts = (
+        f"list_transform(list_distinct({grams}), "
+        f"x -> len(list_filter({grams}, y -> y = x)))"
+    )
+    top = f"coalesce(list_max({counts}), 0)"
+    ntok = f"len(string_split({text}, ' '))"
+    return (
+        f"(CASE WHEN {ntok} > 0 AND {top} > 0 THEN "
+        f"least(1.0, {top} * {n} / cast({ntok} as double)) ELSE 0.0 END)"
+    )
+
+
+def sql_dup_ngram_frac(text: str, n: int = 5) -> str:
+    return _sql_dup_frac(_sql_grams(text, n))
