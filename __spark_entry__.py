@@ -448,6 +448,48 @@ def q_dedup_ngram_jaccard(spark, sf):
     return DD.ngram_jaccard_pairs(_docs(spark, sf), threshold=0.5, n=3)
 
 
+def q_url_normalize(spark, sf):
+    """URL canonicalization over deterministically synthesized messy
+    urls (three shapes: uppercase host + default port + tracking
+    params + fragment; userinfo + :80; already-clean): normalized key,
+    host, and registered domain (public-suffix-lite)."""
+    from osmquadtreepostgis_spark.functions.urls import (
+        normalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    d = _docs(spark, sf)
+    k = (F.col("doc_id") % 23).cast("string")
+    i = F.col("doc_id").cast("string")
+    b = (F.col("doc_id") % 5).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTPS://News.Site"), k, F.lit(".Example.CO.UK:443/p/"),
+                i, F.lit("?utm_source=x&b="), b, F.lit("&a=1#sec"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("http://user:pw@Host"), k, F.lit(".example.com:80/q/"),
+                i, F.lit("?z=9&fbclid=ff"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("https://blog.site"), k, F.lit(".org/a/"), i)
+        )
+    )
+    return d.select(
+        "doc_id",
+        normalize_url(url).alias("url_norm"),
+        url_host(url).alias("host"),
+        registered_domain(url).alias("domain"),
+    )
+
+
 def q_repetition_signals(spark, sf):
     """Gopher-style repetition quality signals per document (line
     delimiter ' ' so token repeats exercise the duplicate-line path
@@ -902,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _shipped(q_dedup_clusters),
         "html_extract": _shipped(q_html_extract),
         "repetition_signals": _shipped(q_repetition_signals),
+        "url_normalize": _shipped(q_url_normalize),
         "dedup_minhash_lsh": _shipped(q_dedup_minhash_lsh),
         "dedup_spans": _shipped(q_dedup_spans),
         "dedup_simhash": _shipped(q_dedup_simhash),
@@ -978,6 +1021,32 @@ def _simhash_sql() -> str:
         f"SELECT doc_id, ({' | '.join(terms)}) AS sh "
         f"FROM (SELECT doc_id, {hashed} AS h FROM documents)"
     )
+
+
+def _url_normalize_oracle() -> str:
+    from osmquadtreepostgis_spark.functions.urls import (
+        sql_normalize_url,
+        sql_registered_domain,
+        sql_url_host,
+    )
+
+    url = (
+        "(CASE WHEN doc_id % 3 = 0 THEN "
+        "'HTTPS://News.Site' || cast(doc_id % 23 as varchar) || "
+        "'.Example.CO.UK:443/p/' || cast(doc_id as varchar) || "
+        "'?utm_source=x&b=' || cast(doc_id % 5 as varchar) || '&a=1#sec' "
+        "WHEN doc_id % 3 = 1 THEN "
+        "'http://user:pw@Host' || cast(doc_id % 23 as varchar) || "
+        "'.example.com:80/q/' || cast(doc_id as varchar) || '?z=9&fbclid=ff' "
+        "ELSE 'https://blog.site' || cast(doc_id % 23 as varchar) || "
+        "'.org/a/' || cast(doc_id as varchar) END)"
+    )
+    return f"""
+        SELECT doc_id,
+               {sql_normalize_url(url)} AS url_norm,
+               {sql_url_host(url)} AS host,
+               {sql_registered_domain(url)} AS domain
+        FROM documents"""
 
 
 def _repetition_oracle() -> str:
@@ -1292,6 +1361,7 @@ def oracle_sql() -> dict[str, str]:
                    round(cast(i as double) / (sa + sb - i), 4) AS jaccard
             FROM inter WHERE cast(i as double) / (sa + sb - i) >= 0.5""",
         "repetition_signals": _repetition_oracle(),
+        "url_normalize": _url_normalize_oracle(),
         "html_extract": f"""
             SELECT doc_id, {html_ext} AS extracted,
                    ({html_ext} = text) AS ok

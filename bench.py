@@ -105,6 +105,7 @@ def main() -> None:
         "fuzzy_name_pairs",
         "html_extract",
         "repetition_signals",
+        "url_normalize",
         "text_analysis",
         "quality_filter",
         "sample_stratified",

@@ -1,0 +1,100 @@
+"""URL canonicalization (functions/urls.py): hand-pinned cases,
+DuckDB-twin parity, and normalize idempotence."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from osmquadtreepostgis_spark.functions.urls import (
+    normalize_url,
+    registered_domain,
+    sql_normalize_url,
+    sql_registered_domain,
+    sql_url_host,
+    url_host,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+CASES = [
+    # (url, host, domain, normalized)
+    (
+        "HTTPS://WWW.Example.COM:443/Path/X?b=2&a=1#frag",
+        "www.example.com",
+        "example.com",
+        "https://www.example.com/Path/X?a=1&b=2",
+    ),
+    (
+        "http://news.bbc.co.uk:80/story?utm_source=tw&id=7",
+        "news.bbc.co.uk",
+        "bbc.co.uk",
+        "http://news.bbc.co.uk/story?id=7",
+    ),
+    (
+        "https://sub.deep.site.org/a/b/c",
+        "sub.deep.site.org",
+        "site.org",
+        "https://sub.deep.site.org/a/b/c",
+    ),
+    (
+        "http://user:pw@host.net:8080/p?fbclid=abc&z=1&gclid=x",
+        "host.net",
+        "host.net",
+        "http://host.net:8080/p?z=1",
+    ),
+    (
+        "https://example.com/?utm_campaign=c&utm_medium=m",
+        "example.com",
+        "example.com",
+        "https://example.com/",
+    ),
+    ("https://localhost/x", "localhost", "localhost", "https://localhost/x"),
+    ("not a url at all", "", "", "not a url at all"),
+]
+
+
+def test_hand_pinned(spark):
+    df = spark.createDataFrame([(u,) for u, *_ in CASES], "url string")
+    got = {
+        r["url"]: (r["h"], r["d"], r["n"])
+        for r in df.select(
+            "url",
+            url_host("url").alias("h"),
+            registered_domain("url").alias("d"),
+            normalize_url("url").alias("n"),
+        ).collect()
+    }
+    for url, host, dom, norm in CASES:
+        assert got[url] == (host, dom, norm), url
+
+
+def test_duckdb_twins_agree(spark):
+    df = spark.createDataFrame([(u,) for u, *_ in CASES], "url string")
+    srows = {
+        r["url"]: (r["h"], r["d"], r["n"])
+        for r in df.select(
+            "url",
+            url_host("url").alias("h"),
+            registered_domain("url").alias("d"),
+            normalize_url("url").alias("n"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u, *_ in CASES])
+    q = (
+        f"SELECT url, {sql_url_host('url')} AS h, "
+        f"{sql_registered_domain('url')} AS d, "
+        f"{sql_normalize_url('url')} AS n FROM t"
+    )
+    for url, h, d, n in con.execute(q).fetchall():
+        assert srows[url] == (h, d, n), url
+
+
+def test_normalize_idempotent(spark):
+    df = spark.createDataFrame([(u,) for u, *_ in CASES], "url string")
+    twice = df.select(
+        normalize_url("url").alias("n1"),
+        normalize_url(normalize_url("url")).alias("n2"),
+    )
+    assert twice.filter(F.col("n1") != F.col("n2")).count() == 0
