@@ -545,6 +545,20 @@ def q_dedup_clusters(spark, sf):
     return resolve_duplicates(docs.select("doc_id"), pairs)
 
 
+def q_dedup_incremental(spark, sf):
+    """Incremental corpus dedup: docs with doc_id >= 250 are the new
+    batch, doc_id < 250 the existing corpus; a new doc is dropped when
+    it is an n-gram-Jaccard near-dup (t=0.5) of ANY seen doc. The
+    bipartite prefix-filtered join — no seen-vs-seen work."""
+    docs = _docs(spark, sf)
+    return DD.dedup_against(
+        docs.filter(F.col("doc_id") >= 250),
+        docs.filter(F.col("doc_id") < 250),
+        threshold=0.5,
+        n=3,
+    )
+
+
 def q_dedup_spans(spark, sf):
     """Exact duplicate-substring spans (the passage-level training-data
     dedup): maximal per-doc token intervals covered by 5-grams that
@@ -942,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _shipped(q_dedup_exact),
         "dedup_ngram_jaccard": _shipped(q_dedup_ngram_jaccard),
         "dedup_clusters": _shipped(q_dedup_clusters),
+        "dedup_incremental": _shipped(q_dedup_incremental),
         "html_extract": _shipped(q_html_extract),
         "repetition_signals": _shipped(q_repetition_signals),
         "url_normalize": _shipped(q_url_normalize),
@@ -1394,6 +1409,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id, a.cluster_id, sz2.n AS cluster_size,
                    (a.doc_id = a.cluster_id) AS keep
             FROM alldocs a JOIN sz2 USING (cluster_id)""",
+        "dedup_incremental": f"""
+            WITH sh AS (SELECT doc_id AS id, {sql_word_shingles('text', 3)} AS s
+                        FROM documents),
+            sized AS (SELECT id, s, len(s) AS sz FROM sh),
+            ex AS (SELECT id, sz, unnest(s) AS tok FROM sized),
+            inter AS (
+              SELECT a.id AS id_new, b.id AS id_seen, a.sz AS sa, b.sz AS sb,
+                     count(*) AS i
+              FROM ex a JOIN ex b ON a.tok = b.tok
+                   AND a.id >= 250 AND b.id < 250
+              GROUP BY 1, 2, 3, 4),
+            hits AS (SELECT id_new, cast(count(*) as bigint) AS n
+                     FROM inter
+                     WHERE cast(i as double) / (sa + sb - i) >= 0.5
+                     GROUP BY id_new)
+            SELECT d.doc_id, coalesce(h.n, 0) AS n_seen_dups,
+                   (coalesce(h.n, 0) = 0) AS keep
+            FROM documents d LEFT JOIN hits h ON h.id_new = d.doc_id
+            WHERE d.doc_id >= 250""",
         "dedup_minhash_lsh": f"""
             WITH sig AS ({_sig_sql()}),
             cand AS (

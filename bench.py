@@ -95,6 +95,7 @@ def main() -> None:
         "dedup_exact",
         "dedup_ngram_jaccard",
         "dedup_clusters",
+        "dedup_incremental",
         "dedup_minhash_lsh",
         "dedup_spans",
         "dedup_simhash",

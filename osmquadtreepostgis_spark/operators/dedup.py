@@ -31,6 +31,8 @@ __all__ = [
     "dedup_exact",
     "ngram_jaccard_pairs",
     "set_jaccard_pairs",
+    "set_jaccard_join",
+    "dedup_against",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "duplicate_spans",
@@ -95,33 +97,20 @@ def ngram_jaccard_pairs(
     return set_jaccard_pairs(sh, threshold)
 
 
-def set_jaccard_pairs(sets: DataFrame, threshold: float) -> DataFrame:
-    """Prefix-filtered exact set-Jaccard self-join over a frame of
-    (id, __sh: array<string>) element sets — the shared core of
-    :func:`ngram_jaccard_pairs` (word shingles) and
-    :func:`..operators.fuzzy.similar_name_pairs` (char trigrams).
-    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded
-    4dp. Semantics and scale shape documented on
-    :func:`ngram_jaccard_pairs`."""
+def _prefix_frame(sets: DataFrame, dfcnt: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-exploded frame (id, __size, __pref, __shfull, __s) of a
+    (id, __sh) set frame under the df-ascending global element order
+    given by ``dfcnt`` (__s, __df). Shared by the self-join
+    (:func:`set_jaccard_pairs`) and the bipartite probe/index join
+    (:func:`set_jaccard_join`) — the order MUST come from the same
+    dfcnt on both sides of a join for the prefix-filter argument to
+    hold."""
     sh = sets.select("id", "__sh").withColumn("__size", F.size("__sh"))
     ex = sh.select("id", "__size", F.explode("__sh").alias("__s"))
-    # document frequency per shingle: two-phase groupBy + equi-join
-    # back, NOT Window.partitionBy("__s") — a window partition cannot
-    # be AQE-split, so a stop-phrase shingle with 10^8+ occurrences
-    # would land in one task at web scale. The groupBy gets map-side
-    # partial aggregation and the join is AQE-skew-splittable
-    # (VERDICT r2 what's-wrong #1).
-    dfcnt = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
     exdf = ex.join(dfcnt, "__s")
-    # rank within doc by (df asc, shingle asc) = the global order;
-    # prefix = first |X| - ceil(t|X|) + 1 shingles. The groupBy(id)
-    # reuses the rank window's id-partitioning (no extra exchange), and
-    # collect_list skips nulls, so ONE aggregation gathers both the
-    # prefix and the full shingle array — no join back to the source
-    # (which would broadcast/shuffle the whole table again).
     wdoc = Window.partitionBy("id").orderBy(F.col("__df").asc(), F.col("__s").asc())
     plen = F.col("__size") - F.ceil(F.lit(threshold) * F.col("__size")) + 1
-    pref = (
+    return (
         exdf.withColumn("__rk", F.row_number().over(wdoc))
         .groupBy("id", "__size")
         .agg(
@@ -132,6 +121,29 @@ def set_jaccard_pairs(sets: DataFrame, threshold: float) -> DataFrame:
         )
         .select("id", "__size", "__pref", "__shfull", F.explode("__pref").alias("__s"))
     )
+
+
+def set_jaccard_pairs(sets: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filtered exact set-Jaccard self-join over a frame of
+    (id, __sh: array<string>) element sets — the shared core of
+    :func:`ngram_jaccard_pairs` (word shingles) and
+    :func:`..operators.fuzzy.similar_name_pairs` (char trigrams).
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded
+    4dp. Semantics and scale shape documented on
+    :func:`ngram_jaccard_pairs`."""
+    # document frequency per shingle: two-phase groupBy + equi-join
+    # back, NOT Window.partitionBy("__s") — a window partition cannot
+    # be AQE-split, so a stop-phrase shingle with 10^8+ occurrences
+    # would land in one task at web scale. The groupBy gets map-side
+    # partial aggregation and the join is AQE-skew-splittable
+    # (VERDICT r2 what's-wrong #1). Inside _prefix_frame, the rank
+    # window is per-doc (id-partitioned — splittable by construction)
+    # and ONE collect_list aggregation gathers both the prefix and the
+    # full array (collect_list skips nulls), so there is no join back
+    # to the source.
+    ex = sets.select("id", F.explode("__sh").alias("__s"))
+    dfcnt = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    pref = _prefix_frame(sets, dfcnt, threshold)
     # Explicit shuffle on the shingle key. collect_list is
     # non-deterministic to Catalyst, which defeats ReuseExchange, so
     # each self-join side re-runs the df+rank pipeline — measured
@@ -168,6 +180,102 @@ def set_jaccard_pairs(sets: DataFrame, threshold: float) -> DataFrame:
         cand.withColumn("jaccard", j)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def set_jaccard_join(
+    probe: DataFrame, index: DataFrame, threshold: float
+) -> DataFrame:
+    """BIPARTITE prefix-filtered exact set-Jaccard join between two
+    (id, __sh) frames: pairs (id_p, id_x, jaccard) with
+    J(probe, index) >= threshold. The incremental-dedup primitive —
+    probe is the new batch, index the existing corpus; unlike running
+    :func:`set_jaccard_pairs` on the union, no index-vs-index work is
+    done (at 100 TB the corpus side dwarfs the batch side by orders of
+    magnitude, so union self-join cost is dominated by exactly the
+    pairs nobody asked for).
+
+    The prefix-filter global order MUST be shared by both sides, so
+    document frequency is counted over the UNION of element
+    occurrences; both prefix frames are then built against that one
+    dfcnt. Same exactness argument as :func:`set_jaccard_pairs`; the
+    first-shared-prefix-element dedup keeps each qualifying pair
+    exactly once with no dropDuplicates shuffle."""
+    exp = probe.select("id", F.explode("__sh").alias("__s"))
+    exx = index.select("id", F.explode("__sh").alias("__s"))
+    dfcnt = (
+        exp.unionByName(exx)
+        .groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    a = _prefix_frame(probe, dfcnt, threshold).select(
+        F.col("id").alias("id_p"),
+        F.col("__size").alias("__sa"),
+        F.col("__pref").alias("__pa"),
+        F.col("__shfull").alias("__fa"),
+        "__s",
+    )
+    b = _prefix_frame(index, dfcnt, threshold).select(
+        F.col("id").alias("id_x"),
+        F.col("__size").alias("__sb"),
+        F.col("__pref").alias("__pb"),
+        F.col("__shfull").alias("__fb"),
+        "__s",
+    )
+    size_ok = (F.col("__sa") >= threshold * F.col("__sb")) & (
+        F.col("__sb") >= threshold * F.col("__sa")
+    )
+    first_shared = F.array_min(F.array_intersect("__pa", "__pb"))
+    cand = a.join(b, "__s").filter(size_ok & (F.col("__s") == first_shared))
+    inter = F.size(F.array_intersect("__fa", "__fb"))
+    j = inter / (F.col("__sa") + F.col("__sb") - inter)
+    return (
+        cand.withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_p", "id_x", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def dedup_against(
+    new: DataFrame,
+    seen: DataFrame,
+    threshold: float,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental corpus dedup: for each NEW document, is it an
+    n-gram-Jaccard near-duplicate of ANY document already in the SEEN
+    corpus?  Returns one row per new doc:
+    ``(doc_id, n_seen_dups, keep)`` — keep = no seen near-dup.
+
+    New-vs-new duplicates are deliberately NOT considered (that is a
+    separate self-dedup pass, :func:`ngram_jaccard_pairs` +
+    :mod:`.cluster`); the incremental contract is "what does this
+    batch add on top of the corpus".  Ids need not be distinct across
+    the two frames — sides never mix."""
+
+    def _sh(d: DataFrame) -> DataFrame:
+        toks = d.select(
+            F.col(id_col).alias("id"),
+            F.split(F.col(text_col), " ").alias("__toks"),
+        )
+        return toks.select(
+            "id", word_shingles_tokens(F.col("__toks"), n).alias("__sh")
+        )
+
+    hits = set_jaccard_join(_sh(new), _sh(seen), threshold)
+    per_new = hits.groupBy(F.col("id_p").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_seen_dups")
+    )
+    return (
+        new.select(id_col)
+        .join(per_new, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_seen_dups", F.lit(0)).alias("n_seen_dups"),
+            (F.coalesce("n_seen_dups", F.lit(0)) == 0).alias("keep"),
+        )
     )
 
 
