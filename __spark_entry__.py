@@ -448,6 +448,20 @@ def q_dedup_ngram_jaccard(spark, sf):
     return DD.ngram_jaccard_pairs(_docs(spark, sf), threshold=0.5, n=3)
 
 
+def q_curate_corpus(spark, sf):
+    """End-to-end curation audit (plans/curation.py): C4 quality +
+    Gopher repetition rules, incremental dedup vs the doc_id<100
+    'existing corpus', then exact-Jaccard clustering with min-id
+    survivors — one auditable row per curated doc."""
+    from osmquadtreepostgis_spark.plans.curation import curate_corpus
+
+    docs = _docs(spark, sf)
+    return curate_corpus(
+        docs.filter(F.col("doc_id") >= 100),
+        seen=docs.filter(F.col("doc_id") < 100),
+    )
+
+
 def q_url_normalize(spark, sf):
     """URL canonicalization over deterministically synthesized messy
     urls (three shapes: uppercase host + default port + tracking
@@ -960,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": _shipped(q_html_extract),
         "repetition_signals": _shipped(q_repetition_signals),
         "url_normalize": _shipped(q_url_normalize),
+        "curate_corpus": _shipped(q_curate_corpus),
         "dedup_minhash_lsh": _shipped(q_dedup_minhash_lsh),
         "dedup_spans": _shipped(q_dedup_spans),
         "dedup_simhash": _shipped(q_dedup_simhash),
@@ -1036,6 +1051,78 @@ def _simhash_sql() -> str:
         f"SELECT doc_id, ({' | '.join(terms)}) AS sh "
         f"FROM (SELECT doc_id, {hashed} AS h FROM documents)"
     )
+
+
+def _curate_oracle() -> str:
+    from osmquadtreepostgis_spark.functions.repetition import (
+        sql_dup_ngram_frac,
+        sql_top_ngram_frac,
+    )
+
+    sh3 = sql_word_shingles("text", 3)
+    return f"""
+        WITH RECURSIVE
+        base AS (SELECT doc_id, text FROM documents WHERE doc_id >= 100),
+        seen AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        qm AS (SELECT doc_id,
+                      len(string_split(text, ' ')) AS n_words,
+                      length(replace(text, ' ', '')) AS total_chars,
+                      length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                        AS symbols
+               FROM base),
+        aud1 AS (
+          SELECT b.doc_id, b.text,
+                 (qm.n_words >= 20
+                  AND qm.total_chars / greatest(qm.n_words, 1) <= 12.0
+                  AND qm.total_chars / greatest(qm.n_words, 1) >= 2.0
+                  AND qm.symbols / greatest(qm.total_chars, 1) <= 0.3)
+                   AS keep_quality,
+                 ({sql_top_ngram_frac('b.text', 2)} <= 0.13
+                  AND {sql_dup_ngram_frac('b.text', 2)} <= 0.065)
+                   AS keep_repetition
+          FROM base b JOIN qm ON qm.doc_id = b.doc_id),
+        surv1 AS (SELECT doc_id, text FROM aud1
+                  WHERE keep_quality AND keep_repetition),
+        exn AS (SELECT doc_id AS id, len({sh3}) AS sz, unnest({sh3}) AS tok
+                FROM surv1),
+        exs AS (SELECT doc_id AS id, len({sh3}) AS sz, unnest({sh3}) AS tok
+                FROM seen),
+        iinter AS (
+          SELECT a.id AS id_new, b.id AS id_seen, a.sz AS sa, b.sz AS sb,
+                 count(*) AS i
+          FROM exn a JOIN exs b ON a.tok = b.tok GROUP BY 1, 2, 3, 4),
+        ihits AS (SELECT DISTINCT id_new FROM iinter
+                  WHERE cast(i as double) / (sa + sb - i) >= 0.5),
+        aud2 AS (
+          SELECT a.*, (a.keep_quality AND a.keep_repetition
+                       AND h.id_new IS NULL) AS keep_not_seen
+          FROM aud1 a LEFT JOIN ihits h ON h.id_new = a.doc_id),
+        surv2 AS (SELECT doc_id, text FROM aud2 WHERE keep_not_seen),
+        ex2 AS (SELECT doc_id AS id, len({sh3}) AS sz, unnest({sh3}) AS tok
+                FROM surv2),
+        sinter AS (
+          SELECT a.id AS id_a, b.id AS id_b, a.sz AS sa, b.sz AS sb,
+                 count(*) AS i
+          FROM ex2 a JOIN ex2 b ON a.tok = b.tok AND a.id < b.id
+          GROUP BY 1, 2, 3, 4),
+        pairs AS (SELECT id_a, id_b FROM sinter
+                  WHERE cast(i as double) / (sa + sb - i) >= 0.5),
+        e AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+        walk(id, r) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM e)
+          UNION
+          SELECT e.v, w.r FROM walk w JOIN e ON e.u = w.id),
+        lab AS (SELECT id, min(r) AS comp FROM walk GROUP BY id),
+        canon AS (
+          SELECT s.doc_id,
+                 (coalesce(l.comp, s.doc_id) = s.doc_id) AS keep_canonical
+          FROM surv2 s LEFT JOIN lab l ON l.id = s.doc_id)
+        SELECT a.doc_id, a.keep_quality, a.keep_repetition, a.keep_not_seen,
+               coalesce(c.keep_canonical, FALSE) AS keep_canonical,
+               (a.keep_quality AND a.keep_repetition AND a.keep_not_seen
+                AND coalesce(c.keep_canonical, FALSE)) AS keep
+        FROM aud2 a LEFT JOIN canon c ON c.doc_id = a.doc_id"""
 
 
 def _url_normalize_oracle() -> str:
@@ -1377,6 +1464,7 @@ def oracle_sql() -> dict[str, str]:
             FROM inter WHERE cast(i as double) / (sa + sb - i) >= 0.5""",
         "repetition_signals": _repetition_oracle(),
         "url_normalize": _url_normalize_oracle(),
+        "curate_corpus": _curate_oracle(),
         "html_extract": f"""
             SELECT doc_id, {html_ext} AS extracted,
                    ({html_ext} = text) AS ok

@@ -96,6 +96,7 @@ def main() -> None:
         "dedup_ngram_jaccard",
         "dedup_clusters",
         "dedup_incremental",
+        "curate_corpus",
         "dedup_minhash_lsh",
         "dedup_spans",
         "dedup_simhash",

@@ -84,8 +84,9 @@ def connected_components(
 
     Returns ``(node, component)`` where ``component`` is the minimum
     node id in the node's connected component — one row per distinct
-    endpoint in ``edges`` (callers holding isolated nodes join this
-    back with a coalesce-to-self; :func:`resolve_duplicates` does).
+    endpoint of a non-self-loop edge (callers holding isolated nodes
+    — or nodes appearing only in self-loops — join this back with a
+    coalesce-to-self; :func:`resolve_duplicates` does).
 
     ``max_iter`` bounds the star rounds; 25 doublings cover any graph
     that fits in 2^25-deep forests (i.e. any realistic corpus — the
@@ -97,6 +98,10 @@ def connected_components(
         e = e.localCheckpoint(eager=True)
     else:  # durable checkpoint dir must be set by the caller
         e = e.checkpoint(eager=True)
+    # every later read — node set included — comes off this
+    # materialized frame, so the (possibly expensive) upstream pair
+    # query runs exactly once
+    e0 = e
     fp = _fingerprint(e)
 
     for _ in range(max_iter):
@@ -143,10 +148,12 @@ def connected_components(
         )
 
     # converged: stars (child -> component-min). Roots never appear as
-    # 'big'; give them their self-label.
+    # 'big'; give them their self-label. Node set reads the CHECKPOINTED
+    # initial edges, not the caller's frame, so the upstream pair query
+    # is not re-executed.
     nodes = (
-        edges.select(F.col(id_a).alias("node"))
-        .unionByName(edges.select(F.col(id_b).alias("node")))
+        e0.select(F.col("big").alias("node"))
+        .unionByName(e0.select(F.col("small").alias("node")))
         .distinct()
     )
     return nodes.join(

@@ -1,0 +1,46 @@
+"""End-to-end curation composition (plans/curation.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmquadtreepostgis_spark.plans.curation import curate_corpus
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+@pytest.fixture(scope="module")
+def audit(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return curate_corpus(
+        docs.filter(F.col("doc_id") >= 100),
+        seen=docs.filter(F.col("doc_id") < 100),
+    ).toPandas()
+
+
+def test_one_row_per_doc_and_conjunction(audit):
+    assert len(audit) == 400
+    assert audit.doc_id.is_unique
+    want = (
+        audit.keep_quality
+        & audit.keep_repetition
+        & audit.keep_not_seen
+        & audit.keep_canonical
+    )
+    assert (audit.keep == want).all()
+
+
+def test_stage_monotonicity(audit):
+    """A doc failing an earlier stage never passes a later one (later
+    verdicts are false for docs the stage never saw)."""
+    early_fail = ~(audit.keep_quality & audit.keep_repetition)
+    assert not audit.loc[early_fail, "keep_not_seen"].any()
+    assert not audit.loc[~audit.keep_not_seen, "keep_canonical"].any()
+
+
+def test_every_stage_non_vacuous(audit):
+    assert (~audit.keep_quality).sum() > 0
+    assert (~audit.keep_repetition).sum() > 0
+    surv1 = audit.keep_quality & audit.keep_repetition
+    assert (surv1 & ~audit.keep_not_seen).sum() > 0
+    assert (audit.keep_not_seen & ~audit.keep_canonical).sum() > 0
+    assert audit.keep.sum() > 0
