@@ -444,6 +444,18 @@ def q_dedup_exact(spark, sf):
     return DD.dedup_exact(_docs(spark, sf))
 
 
+def q_stream_dedup_exact(spark, sf):
+    """Streaming exact dedup: stateful fingerprint-keyed aggregate
+    over the documents file stream; order-independent state
+    (min(doc_id), count-1) makes the bounded-input answer equal the
+    batch operator for any micro-batch schedule."""
+    from osmquadtreepostgis_spark.streaming.stream import stream_dedup_exact
+
+    return run_stream_to_completion(
+        stream_dedup_exact(spark, sf), name="q_stream_dedup_exact"
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf):
     return DD.ngram_jaccard_pairs(_docs(spark, sf), threshold=0.5, n=3)
 
@@ -968,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_events_window": _shipped(q_stream_events_window),
         "stream_stateful_sessionize": _shipped(q_stream_stateful_sessionize),
         "dedup_exact": _shipped(q_dedup_exact),
+        "stream_dedup_exact": _shipped(q_stream_dedup_exact),
         "dedup_ngram_jaccard": _shipped(q_dedup_ngram_jaccard),
         "dedup_clusters": _shipped(q_dedup_clusters),
         "dedup_incremental": _shipped(q_dedup_incremental),
@@ -1418,6 +1431,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) - 1 AS n_dupes
             FROM documents GROUP BY text""",
+        "stream_dedup_exact": f"""
+            SELECT min(doc_id) AS doc_id, count(*) - 1 AS n_dupes
+            FROM documents GROUP BY {TX.sql_fingerprint('text')}""",
         # positional 5-grams -> global occurrence count -> keep >1 ->
         # interval-union span merge: new span iff pos > lag(pos)+5,
         # i.e. past the previous covered end (lag+4) PLUS one — a gram

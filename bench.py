@@ -122,6 +122,7 @@ def main() -> None:
         "multipolygon_parts",
         "rollup_pricing",
         "salted_tile_agg",
+        "stream_dedup_exact",
         "stream_events_window",
         "stream_stateful_sessionize",
     ]:

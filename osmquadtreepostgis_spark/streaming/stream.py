@@ -21,6 +21,7 @@ __all__ = [
     "stream_events_windowed",
     "stream_sessionize_stateful",
     "stream_pages_flagship",
+    "stream_dedup_exact",
     "run_stream_to_completion",
 ]
 
@@ -170,6 +171,42 @@ def stream_sessionize_stateful(
         .applyInPandasWithState(
             track, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
+    )
+
+
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup over a document file stream: running
+    stateful aggregate keyed by content fingerprint — the continuous-
+    ingest twin of :func:`..operators.dedup.dedup_exact`.
+
+    Semantics chosen for ORDER-INDEPENDENCE: instead of streaming
+    dropDuplicates (whose keep-first answer depends on file/batch
+    arrival order), the state per fingerprint is (min(doc_id),
+    count-1) — an aggregate, so the final answer over bounded input is
+    identical for ANY micro-batch schedule and equals the batch
+    operator's output. State is O(#distinct contents); at web scale
+    the fingerprint key is the same shuffle key the batch op uses."""
+    from ..functions.text import fingerprint
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stage = Path(tempfile.gettempdir()) / f"oqps_stream_{abs(hash(sf_dir))}"
+    stage.mkdir(exist_ok=True)
+    link = stage / "documents.parquet"
+    if not link.exists():
+        link.symlink_to(f"{sf_dir}/documents.parquet")
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    return (
+        src.select(fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            (F.count(F.lit(1)) - 1).alias("n_dupes"),
+        )
+        .select("doc_id", "n_dupes")
     )
 
 
