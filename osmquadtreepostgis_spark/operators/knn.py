@@ -32,6 +32,7 @@ __all__ = [
     "ann_cosine_pairs_lsh",
     "ann_cosine_topk",
     "ann_cosine_ivf",
+    "kmeans_anchors",
 ]
 
 
@@ -605,6 +606,66 @@ def ann_cosine_pairs_lsh(
     )
 
 
+def kmeans_anchors(
+    emb: DataFrame,
+    k: int,
+    iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means anchors (anchor_id, anchor_vec) for the IVF
+    index: deterministic init (first ``k`` vectors by id), then Lloyd
+    iterations — assign each vector to its max-cosine anchor
+    (broadcast anchors, one window argmax), recompute each anchor as
+    the per-dimension mean of its bucket (``k * dim`` plain ``avg``
+    aggregates, pure Column, map-side partial).  Centroids are NOT
+    re-normalized: cosine's own normalization makes the argmax
+    invariant to centroid scale.
+
+    Deterministic end to end (init by id, ties broken by anchor id),
+    so the anchors — and any IVF result built on them — are stable
+    across runs and cluster sizes.  Each iteration is one shuffle on
+    the anchor key; lineage is cut per round with localCheckpoint.
+    Empty buckets keep their previous centroid (coalesce on the join).
+    """
+    anchors = (
+        emb.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col(id_col).asc()))
+            .alias("anchor_id"),
+            F.col(vec_col).alias("anchor_vec"),
+        )
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        aj = emb.crossJoin(F.broadcast(anchors))
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("a_sim").desc(), F.col("anchor_id").asc()
+        )
+        assigned = (
+            aj.withColumn("a_sim", _cosine(F.col(vec_col), F.col("anchor_vec")))
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("anchor_id", vec_col)
+        )
+        means = assigned.groupBy("anchor_id").agg(
+            F.array(
+                *[F.avg(F.col(vec_col)[i]) for i in range(dim)]
+            ).alias("new_vec")
+        )
+        anchors = (
+            anchors.join(means, "anchor_id", "left")
+            .select(
+                "anchor_id",
+                F.coalesce("new_vec", "anchor_vec").alias("anchor_vec"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return anchors
+
+
 def ann_cosine_ivf(
     emb: DataFrame,
     queries: DataFrame,
@@ -615,22 +676,29 @@ def ann_cosine_ivf(
     vec_col: str = "embedding",
     q_id: str = "q_id",
     q_vec: str = "q_vec",
+    anchors: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: assign vectors to their nearest anchor (the first
     ``n_anchors`` vectors by id — deterministic, broadcastable), probe
     the query's ``n_probe`` nearest anchor buckets, exact cosine within.
+    Pass ``anchors`` (e.g. :func:`kmeans_anchors`) to replace the
+    first-by-id centroids with refined ones — better-balanced buckets
+    raise recall at the same n_probe and smooth the bucket-size skew
+    the shuffle keys on.
 
     The scale path: the shuffle key is the anchor bucket, candidate
     set is |data| * n_probe / n_anchors per query instead of |data|.
     Approximate — recall measured in pytest against ann_cosine_topk.
     """
-    anchors = (
-        emb.orderBy(F.col(id_col).asc())
-        .limit(n_anchors)
-        .select(
-            F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("anchor_vec")
+    if anchors is None:
+        anchors = (
+            emb.orderBy(F.col(id_col).asc())
+            .limit(n_anchors)
+            .select(
+                F.col(id_col).alias("anchor_id"),
+                F.col(vec_col).alias("anchor_vec"),
+            )
         )
-    )
     aj = emb.crossJoin(F.broadcast(anchors))
     w = Window.partitionBy(id_col).orderBy(
         F.col("a_sim").desc(), F.col("anchor_id").asc()

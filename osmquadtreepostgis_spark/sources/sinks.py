@@ -27,6 +27,7 @@ __all__ = [
     "write_tables_jdbc",
     "hstore_literal",
     "copy_text_row",
+    "write_jsonl_gz",
     "dry_run_counts",
     "foreach_batch_sink",
 ]
@@ -208,6 +209,34 @@ def write_tee(
     finally:
         routed.unpersist()
     return out
+
+
+def write_jsonl_gz(
+    df: DataFrame,
+    path: str,
+    shard_col: str | None = None,
+    num_shards: int | None = None,
+) -> str:
+    """Sharded gzip JSONL export — the interchange format training
+    loaders consume (one JSON object per line, .json.gz parts).
+
+    Spark's json writer IS JSONL (one object per line per part file);
+    gzip rides the codec option, so the export is a single distributed
+    write with no driver involvement. ``shard_col`` repartitions by a
+    column (e.g. the pack id from
+    :func:`..operators.corpus.pack_sequences`, keeping a pack's docs
+    in one shard); ``num_shards`` fixes the part count — at 100 TB
+    pick shards so each lands in the 100 MB-1 GB range loaders like.
+    Overwrites ``path`` atomically (Spark staging commit)."""
+    out = df
+    if shard_col is not None and num_shards is not None:
+        out = out.repartition(num_shards, shard_col)
+    elif shard_col is not None:
+        out = out.repartition(shard_col)
+    elif num_shards is not None:
+        out = out.repartition(num_shards)
+    out.write.mode("overwrite").option("compression", "gzip").json(path)
+    return path
 
 
 def dry_run_counts(routed: DataFrame, table_col: str = "table") -> DataFrame:

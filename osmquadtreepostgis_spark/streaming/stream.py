@@ -103,7 +103,9 @@ def stream_events_windowed(
     watermark for late data."""
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file-stream source needs a directory: stage a symlink dir
-    stage = Path(tempfile.gettempdir()) / f"oqps_stream_{abs(hash(sf_dir))}"
+    # stage dir is PER TABLE: a shared dir would make this file stream
+    # read any other table staged for the same sf_dir with this schema
+    stage = Path(tempfile.gettempdir()) / f"oqps_stream_{abs(hash(sf_dir))}_events"
     stage.mkdir(exist_ok=True)
     link = stage / "events.parquet"
     if not link.exists():
@@ -141,7 +143,9 @@ def stream_sessionize_stateful(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stage = Path(tempfile.gettempdir()) / f"oqps_stream_{abs(hash(sf_dir))}"
+    # stage dir is PER TABLE: a shared dir would make this file stream
+    # read any other table staged for the same sf_dir with this schema
+    stage = Path(tempfile.gettempdir()) / f"oqps_stream_{abs(hash(sf_dir))}_events"
     stage.mkdir(exist_ok=True)
     link = stage / "events.parquet"
     if not link.exists():
@@ -189,7 +193,9 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import fingerprint
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stage = Path(tempfile.gettempdir()) / f"oqps_stream_{abs(hash(sf_dir))}"
+    stage = (
+        Path(tempfile.gettempdir()) / f"oqps_stream_{abs(hash(sf_dir))}_documents"
+    )
     stage.mkdir(exist_ok=True)
     link = stage / "documents.parquet"
     if not link.exists():

@@ -174,3 +174,22 @@ def test_write_tee_both_sinks_from_one_materialization(spark, tmp_path):
         with gzip.open(f, "rt") as fh:
             lines += [ln for ln in fh if ln.strip()]
     assert len(lines) == 2
+
+
+def test_write_jsonl_gz_roundtrip(spark, tmp_path):
+    """Sharded gzip JSONL: part files are .json.gz, rows round-trip,
+    shard count honored."""
+    import glob
+
+    from osmquadtreepostgis_spark.sources.sinks import write_jsonl_gz
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "corpus_jsonl")
+    write_jsonl_gz(docs.select("doc_id", "text"), out, num_shards=4)
+    parts = glob.glob(f"{out}/part-*.json.gz")
+    assert len(parts) == 4
+    back = spark.read.json(out)
+    assert back.count() == docs.count()
+    a = {r["doc_id"]: r["text"] for r in back.collect()}
+    b = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    assert a == b
