@@ -85,18 +85,72 @@ def dup_line_frac(text, line_delim: str = "\n") -> Column:
     return _dup_frac(_lines(text, line_delim))
 
 
+def _run_state():
+    """(prev, run, acc) init for sorted-run aggregates: prev=NULL so
+    the first element never extends a phantom run."""
+    return F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).cast("long").alias("acc"),
+    )
+
+
+def _close_run(acc: Column, value_fn) -> Column:
+    """Contribution of the run being closed: value_fn(run, prev) for
+    runs longer than 1, else 0."""
+    return F.when(
+        acc["run"] > 1, value_fn(acc["run"], acc["prev"]).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def _dup_run_sum(arr: Column, value_fn) -> Column:
+    """Sum of value_fn(count, value) over distinct values occurring
+    more than once, via a single pass over the SORTED array.
+
+    This shape matters: counting with a nested
+    ``filter(arr, y -> y = x)`` per element re-evaluates the whole
+    array EXPRESSION per element access (codegen inlines it), turning
+    an S-element array built by an S-cost expression into O(S^2)
+    expression evaluations — measured 322 s for 5000 x ~54-token docs.
+    The sorted-run aggregate references the array once; each lambda
+    touches only its element and the accumulator."""
+    step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+        F.when(x == acc["prev"], acc["acc"])
+        .otherwise(acc["acc"] + _close_run(acc, value_fn))
+        .alias("acc"),
+    )
+    return F.aggregate(
+        F.array_sort(arr),
+        _run_state(),
+        step,
+        lambda acc: acc["acc"] + _close_run(acc, value_fn),
+    )
+
+
+def _max_run(arr: Column) -> Column:
+    """Length of the longest equal-element run of the sorted array —
+    i.e. the max multiplicity; same single-pass shape as _dup_run_sum."""
+    step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+        F.greatest(
+            acc["acc"],
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .cast("long"),
+        ).alias("acc"),
+    )
+    return F.aggregate(
+        F.array_sort(arr), _run_state(), step, lambda acc: acc["acc"]
+    )
+
+
 def dup_line_char_frac(text, line_delim: str = "\n") -> Column:
     """Fraction of characters in lines occurring more than once."""
     lines = _lines(text, line_delim)
-    per_line = F.transform(
-        lines,
-        lambda x: F.when(
-            F.size(F.filter(lines, lambda y: y == x)) > 1, F.length(x)
-        ).otherwise(F.lit(0)),
-    )
-    dup_chars = F.aggregate(
-        per_line, F.lit(0).cast("long"), lambda acc, v: acc + v
-    )
+    dup_chars = _dup_run_sum(lines, lambda run, prev: run * F.length(prev))
     total = F.aggregate(
         F.transform(lines, F.length),
         F.lit(0).cast("long"),
@@ -109,12 +163,7 @@ def dup_line_char_frac(text, line_delim: str = "\n") -> Column:
 
 def top_ngram_frac(text, n: int = 2) -> Column:
     """Token share of the most frequent n-gram: count*n/tokens, <=1."""
-    grams = _grams(text, n)
-    counts = F.transform(
-        F.array_distinct(grams),
-        lambda x: F.size(F.filter(grams, lambda y: y == x)),
-    )
-    top = F.coalesce(F.array_max(counts), F.lit(0))
+    top = _max_run(_grams(text, n))
     ntok = F.size(F.split(_col(text), " "))
     return F.when(
         (ntok > 0) & (top > 0),

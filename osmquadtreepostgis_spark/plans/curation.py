@@ -53,8 +53,20 @@ def curate_corpus(
     max_dup_2gram_frac: float = 0.065,
     jaccard_threshold: float = 0.5,
     shingle_n: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
-    """One-pass curation audit over ``docs`` (see module docstring)."""
+    """One-pass curation audit over ``docs`` (see module docstring).
+
+    ``materialize`` cuts lineage (``localCheckpoint``) after the
+    rule stage and after the incremental stage.  The dedup machinery
+    downstream deliberately re-executes its input per join branch
+    (collect_list defeats ReuseExchange — see set_jaccard_pairs);
+    without a barrier that re-execution compounds through the
+    composed stages and re-runs the per-doc repetition HOFs many
+    times over (measured 654 s -> ~25 s at sf0.1).  On a cluster
+    point ``sparkContext.setCheckpointDir`` at durable storage and
+    swap for ``checkpoint``/persist-to-disk if the audit frame
+    exceeds executor memory."""
     q = quality_filter(docs, min_words=min_words, text_col=text_col)
     audited = q.select(
         id_col,
@@ -65,6 +77,8 @@ def curate_corpus(
             & (dup_ngram_frac(text_col, 2) <= max_dup_2gram_frac)
         ).alias("keep_repetition"),
     )
+    if materialize:
+        audited = audited.localCheckpoint(eager=True)
     if seen is not None:
         inc = dedup_against(
             audited.filter(F.col("keep_quality") & F.col("keep_repetition")),
@@ -86,6 +100,8 @@ def curate_corpus(
             "keep_not_seen",
             F.col("keep_quality") & F.col("keep_repetition"),
         )
+    if materialize:
+        audited = audited.localCheckpoint(eager=True)
     survivors = audited.filter(
         F.col("keep_quality") & F.col("keep_repetition") & F.col("keep_not_seen")
     ).select(id_col, text_col)
