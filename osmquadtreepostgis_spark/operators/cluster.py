@@ -182,7 +182,9 @@ def resolve_duplicates(
 
     * ``"min_id"`` (default, deterministic): smallest id survives.
     * ``"best_quality"``: highest ``quality_col`` survives, id as the
-      tiebreak (smallest id among maximal quality).
+      tiebreak (smallest id among maximal quality). NULL quality
+      sorts below every non-null value (Spark struct ordering), so a
+      null-quality doc wins only in an all-null cluster.
 
     The docs side is only touched by one left join on ``id_col`` —
     the expensive work is the pair graph, which is orders of magnitude

@@ -189,7 +189,14 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-1) — an aggregate, so the final answer over bounded input is
     identical for ANY micro-batch schedule and equals the batch
     operator's output. State is O(#distinct contents); at web scale
-    the fingerprint key is the same shuffle key the batch op uses."""
+    the fingerprint key is the same shuffle key the batch op uses.
+
+    Explicit trade vs the batch op: state carries the 60-bit
+    fingerprint ONLY (the batch groupBy keys on (fp, text) and so
+    never merges colliding texts). Keeping full text in streaming
+    state is exactly what one avoids; the collision expectation is
+    ~n²/2⁶¹ (≈1 merged pair per ~10⁹ docs) — widen ``fingerprint`` to
+    128 bits (two md5 halves) before running this at 10^12 docs."""
     from ..functions.text import fingerprint
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema

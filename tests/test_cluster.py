@@ -101,3 +101,16 @@ def test_resolve_best_quality(spark):
     }
     # max quality 0.9 shared by 2 and 3 -> smallest id (2) survives
     assert out == {1: False, 2: True, 3: False, 4: False}
+
+
+def test_cc_durable_checkpoint_branch(spark, tmp_path):
+    """use_local_checkpoint=False goes through the durable checkpoint
+    dir (the fault-tolerant cluster path)."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    edges = [(i, i + 1) for i in range(30)] + [(100, 200)]
+    e = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(e, use_local_checkpoint=False).collect()
+    }
+    assert got == _uf_components(edges)
