@@ -640,15 +640,8 @@ def kmeans_anchors(
         )
     ).localCheckpoint(eager=True)
     for _ in range(iters):
-        aj = emb.crossJoin(F.broadcast(anchors))
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("a_sim").desc(), F.col("anchor_id").asc()
-        )
-        assigned = (
-            aj.withColumn("a_sim", _cosine(F.col(vec_col), F.col("anchor_vec")))
-            .withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1)
-            .select("anchor_id", vec_col)
+        assigned = _assign_nearest_anchor(emb, anchors, id_col, vec_col).select(
+            "anchor_id", vec_col
         )
         means = assigned.groupBy("anchor_id").agg(
             F.array(
@@ -664,6 +657,35 @@ def kmeans_anchors(
             .localCheckpoint(eager=True)
         )
     return anchors
+
+
+def _assign_nearest_anchor(
+    emb: DataFrame, anchors: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, vec, anchor_id) — each vector's max-cosine anchor, ties to
+    the smallest anchor id.  ``max_by`` with a (sim, -anchor_id)
+    ordering struct instead of crossJoin + Window.partitionBy(id):
+    the window shape shuffles |emb| * k rows (the whole expanded
+    cross product) just to pick one per id, while max_by is a
+    map-side-combinable aggregate — only |emb| partial rows reach the
+    exchange, and no anchor-count multiplier ever hits the wire."""
+    aj = emb.crossJoin(F.broadcast(anchors)).withColumn(
+        "a_sim", _cosine(F.col(vec_col), F.col("anchor_vec"))
+    )
+    best = aj.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(
+                F.col("anchor_id").alias("anchor_id"),
+                F.col(vec_col).alias("v"),
+            ),
+            F.struct(F.col("a_sim"), (-F.col("anchor_id")).alias("na")),
+        ).alias("__b")
+    )
+    return best.select(
+        id_col,
+        F.col("__b.v").alias(vec_col),
+        F.col("__b.anchor_id").alias("anchor_id"),
+    )
 
 
 def ann_cosine_ivf(
@@ -699,16 +721,13 @@ def ann_cosine_ivf(
                 F.col(vec_col).alias("anchor_vec"),
             )
         )
-    aj = emb.crossJoin(F.broadcast(anchors))
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("a_sim").desc(), F.col("anchor_id").asc()
+    # data-side assignment is max_by (map-side-combinable), not a
+    # window over the expanded cross product — see _assign_nearest_anchor
+    assigned = _assign_nearest_anchor(emb, anchors, id_col, vec_col).select(
+        id_col, vec_col, "anchor_id"
     )
-    assigned = (
-        aj.withColumn("a_sim", _cosine(F.col(vec_col), F.col("anchor_vec")))
-        .withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select(id_col, vec_col, "anchor_id")
-    )
+    # query-side probe wants top-n_probe (not argmax) over a SMALL
+    # broadcastable side; the window over |q| * k rows is fine here
     qj = queries.crossJoin(F.broadcast(anchors))
     wq = Window.partitionBy(q_id).orderBy(F.col("a_sim").desc(), F.col("anchor_id").asc())
     q_probe = (
