@@ -44,3 +44,23 @@ def test_every_stage_non_vacuous(audit):
     assert (surv1 & ~audit.keep_not_seen).sum() > 0
     assert (audit.keep_not_seen & ~audit.keep_canonical).sum() > 0
     assert audit.keep.sum() > 0
+
+
+def test_curated_corpus_exports_to_jsonl(spark, tmp_path):
+    """The produce-training-data path end-to-end: curate -> keep ->
+    sharded gzip JSONL -> read back."""
+    import glob
+
+    from osmquadtreepostgis_spark.sources.sinks import write_jsonl_gz
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    audit = curate_corpus(
+        docs.filter(F.col("doc_id") >= 100),
+        seen=docs.filter(F.col("doc_id") < 100),
+    )
+    kept = audit.filter("keep").join(docs, "doc_id").select("doc_id", "text")
+    out = str(tmp_path / "train")
+    write_jsonl_gz(kept, out, num_shards=2)
+    assert len(glob.glob(f"{out}/part-*.json.gz")) == 2
+    back = spark.read.json(out)
+    assert back.count() == kept.count() > 0
