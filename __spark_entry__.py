@@ -460,6 +460,40 @@ def q_dedup_ngram_jaccard(spark, sf):
     return DD.ngram_jaccard_pairs(_docs(spark, sf), threshold=0.5, n=3)
 
 
+def q_corpus_stats(spark, sf):
+    """Dataset-card corpus report: doc/token counts, exact token-count
+    percentiles (p50/p90/p99), mean quality score, and per-language doc
+    counts — one row per detected language with the global stats
+    repeated (keeps the result a flat oracle-friendly table). All
+    inputs are the existing JVM text functions; percentile is Spark's
+    exact interpolated percentile, the same definition as DuckDB's
+    quantile_cont."""
+    d = _docs(spark, sf).select(
+        TX.token_count("text").alias("ntok"),
+        TX.lang_id("text").alias("lang"),
+        TX.quality_score("text").alias("q"),
+    )
+    g = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").alias("total_tokens"),
+        F.expr("percentile(ntok, 0.5)").alias("p50_tokens"),
+        F.expr("percentile(ntok, 0.9)").alias("p90_tokens"),
+        F.expr("percentile(ntok, 0.99)").alias("p99_tokens"),
+        F.round(F.avg("q"), 4).alias("mean_quality"),
+    )
+    per_lang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_docs"))
+    return per_lang.crossJoin(F.broadcast(g)).select(
+        "lang",
+        "lang_docs",
+        "n_docs",
+        "total_tokens",
+        "p50_tokens",
+        "p90_tokens",
+        "p99_tokens",
+        "mean_quality",
+    )
+
+
 def q_curate_corpus(spark, sf):
     """End-to-end curation audit (plans/curation.py): C4 quality +
     Gopher repetition rules, incremental dedup vs the doc_id<100
@@ -988,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _shipped(q_repetition_signals),
         "url_normalize": _shipped(q_url_normalize),
         "curate_corpus": _shipped(q_curate_corpus),
+        "corpus_stats": _shipped(q_corpus_stats),
         "dedup_minhash_lsh": _shipped(q_dedup_minhash_lsh),
         "dedup_spans": _shipped(q_dedup_spans),
         "dedup_simhash": _shipped(q_dedup_simhash),
@@ -1481,6 +1516,23 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": _repetition_oracle(),
         "url_normalize": _url_normalize_oracle(),
         "curate_corpus": _curate_oracle(),
+        "corpus_stats": f"""
+            WITH d AS (SELECT {TX.sql_token_count('text')} AS ntok,
+                              {TX.sql_lang_id('text')} AS lang,
+                              {TX.sql_quality_score('text')} AS q
+                       FROM documents),
+            g AS (SELECT cast(count(*) as bigint) AS n_docs,
+                         cast(sum(ntok) as bigint) AS total_tokens,
+                         quantile_cont(ntok, 0.5) AS p50_tokens,
+                         quantile_cont(ntok, 0.9) AS p90_tokens,
+                         quantile_cont(ntok, 0.99) AS p99_tokens,
+                         round(avg(q), 4) AS mean_quality
+                  FROM d)
+            SELECT l.lang, cast(l.lang_docs as bigint) AS lang_docs,
+                   g.n_docs, g.total_tokens, g.p50_tokens, g.p90_tokens,
+                   g.p99_tokens, g.mean_quality
+            FROM (SELECT lang, count(*) AS lang_docs FROM d GROUP BY lang) l
+            CROSS JOIN g""",
         "html_extract": f"""
             SELECT doc_id, {html_ext} AS extracted,
                    ({html_ext} = text) AS ok

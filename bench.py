@@ -97,6 +97,7 @@ def main() -> None:
         "dedup_clusters",
         "dedup_incremental",
         "curate_corpus",
+        "corpus_stats",
         "dedup_minhash_lsh",
         "dedup_spans",
         "dedup_simhash",
