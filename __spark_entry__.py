@@ -460,6 +460,24 @@ def q_dedup_ngram_jaccard(spark, sf):
     return DD.ngram_jaccard_pairs(_docs(spark, sf), threshold=0.5, n=3)
 
 
+def q_hash_embeddings(spark, sf):
+    """Feature-hashed doc embeddings (model-free, signed bucket counts
+    L2-normalized), exploded to (doc_id, j, val) scalar rows for
+    robust value-hash comparison."""
+    from osmquadtreepostgis_spark.functions.embed import hash_embedding
+
+    return (
+        _docs(spark, sf)
+        .select("doc_id", hash_embedding("text", 64).alias("e"))
+        .select("doc_id", F.posexplode("e").alias("j", "v"))
+        .select(
+            "doc_id",
+            F.col("j").cast("long").alias("j"),
+            F.round("v", 4).alias("val"),
+        )
+    )
+
+
 def q_corpus_stats(spark, sf):
     """Dataset-card corpus report: doc/token counts, exact token-count
     percentiles (p50/p90/p99), mean quality score, and per-language doc
@@ -1023,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": _shipped(q_url_normalize),
         "curate_corpus": _shipped(q_curate_corpus),
         "corpus_stats": _shipped(q_corpus_stats),
+        "hash_embeddings": _shipped(q_hash_embeddings),
         "dedup_minhash_lsh": _shipped(q_dedup_minhash_lsh),
         "dedup_spans": _shipped(q_dedup_spans),
         "dedup_simhash": _shipped(q_dedup_simhash),
@@ -1099,6 +1118,16 @@ def _simhash_sql() -> str:
         f"SELECT doc_id, ({' | '.join(terms)}) AS sh "
         f"FROM (SELECT doc_id, {hashed} AS h FROM documents)"
     )
+
+
+def _hash_embeddings_oracle() -> str:
+    from osmquadtreepostgis_spark.functions.embed import sql_hash_embedding
+
+    return f"""
+        WITH v AS (SELECT doc_id, {sql_hash_embedding('text', 64)} AS vec
+                   FROM documents)
+        SELECT doc_id, cast(r.j as bigint) AS j, round(vec[r.j + 1], 4) AS val
+        FROM v, (SELECT unnest(range(0, 64)) AS j) r"""
 
 
 def _curate_oracle() -> str:
@@ -1516,6 +1545,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": _repetition_oracle(),
         "url_normalize": _url_normalize_oracle(),
         "curate_corpus": _curate_oracle(),
+        "hash_embeddings": _hash_embeddings_oracle(),
         "corpus_stats": f"""
             WITH d AS (SELECT {TX.sql_token_count('text')} AS ntok,
                               {TX.sql_lang_id('text')} AS lang,

@@ -98,6 +98,7 @@ def main() -> None:
         "dedup_incremental",
         "curate_corpus",
         "corpus_stats",
+        "hash_embeddings",
         "dedup_minhash_lsh",
         "dedup_spans",
         "dedup_simhash",

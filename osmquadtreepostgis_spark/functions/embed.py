@@ -1,0 +1,90 @@
+"""Model-free document embeddings: the feature-hashing trick, pure
+Column + DuckDB twin.
+
+Training-data pipelines need a cheap dense vector per document long
+before any model exists — for embedding-space near-dup
+(:func:`..operators.knn.ann_cosine_pairs_grid`), clustering, and
+diversity sampling.  Feature hashing (Weinberger et al. 2009) is the
+standard model-free construction: each token hashes to a bucket in
+[0, dim) with a ±1 sign from a second hash; the document vector is
+the signed bucket-count vector, L2-normalized.
+
+Implementation notes:
+
+* the portable md5-int64 hash (same as ``functions.text.fingerprint``)
+  keeps Spark and DuckDB bit-identical — xxhash64 has no DuckDB twin;
+* the bucket fold is ONE ``aggregate`` over ``arrays_zip(idx, sign)``
+  updating an immutable dim-vector — O(dim) per token, and the token
+  array expression is referenced exactly once (the nested-lambda
+  re-evaluation trap documented in functions/repetition.py);
+* empty documents embed to the zero vector (norm guard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["hash_embedding", "sql_hash_embedding"]
+
+
+def _md5int(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def hash_embedding(text, dim: int = 64) -> Column:
+    """array<double> L2-normalized feature-hashed embedding."""
+    toks = F.split(F.col(text) if isinstance(text, str) else text, " ")
+    idx = F.transform(toks, lambda t: (_md5int(t) % dim).cast("int"))
+    sgn = F.transform(
+        toks,
+        lambda t: F.when(
+            _md5int(F.concat(t, F.lit("#s"))) % 2 == 0, F.lit(1.0)
+        ).otherwise(F.lit(-1.0)),
+    )
+    pairs = F.arrays_zip(idx.alias("i"), sgn.alias("s"))
+    init = F.array_repeat(F.lit(0.0), dim)
+    vec = F.aggregate(
+        pairs,
+        init,
+        lambda acc, p: F.transform(
+            acc,
+            lambda v, j: v
+            + F.when(j == p["i"], p["s"]).otherwise(F.lit(0.0)),
+        ),
+    )
+    norm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return F.when(
+        norm > 0, F.transform(vec, lambda v: v / norm)
+    ).otherwise(vec)
+
+
+# --- DuckDB twin (O(dim * S) per doc — oracle-only shape) ------------------
+
+
+def _sql_md5int(expr: str) -> str:
+    from .sketches import sql_md5_int64
+
+    return sql_md5_int64(expr)
+
+
+def sql_hash_embedding(expr: str, dim: int = 64) -> str:
+    toks = f"string_split({expr}, ' ')"
+    signed = _sql_md5int("t || '#s'")
+    contrib = (
+        f"list_transform({toks}, t -> CASE "
+        f"WHEN {_sql_md5int('t')} % {dim} = j THEN "
+        f"(CASE WHEN {signed} % 2 = 0 "
+        f"THEN 1.0 ELSE -1.0 END) ELSE 0.0 END)"
+    )
+    vec = (
+        f"list_transform(range(0, {dim}), "
+        f"j -> coalesce(list_sum({contrib}), 0.0))"
+    )
+    norm = f"sqrt(list_sum(list_transform({vec}, v -> v * v)))"
+    return (
+        f"(CASE WHEN {norm} > 0 "
+        f"THEN list_transform({vec}, v -> v / {norm}) ELSE {vec} END)"
+    )

@@ -1,0 +1,67 @@
+"""Feature-hashing document embeddings (functions/embed.py)."""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from osmquadtreepostgis_spark.functions.embed import (
+    hash_embedding,
+    sql_hash_embedding,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "spam spam spam spam eggs",
+    "completely different vocabulary entirely",
+    "the quick brown fox jumps over the lazy cat",
+    "",
+]
+
+
+def _spark_vecs(spark, dim=16):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    return {
+        r["doc_id"]: list(r["e"])
+        for r in df.select(
+            "doc_id", hash_embedding("text", dim).alias("e")
+        ).collect()
+    }
+
+
+def test_unit_norm_and_dim(spark):
+    vecs = _spark_vecs(spark)
+    for i, v in vecs.items():
+        assert len(v) == 16
+        n = math.sqrt(sum(x * x for x in v))
+        assert n == pytest.approx(1.0, abs=1e-9)  # every doc has >=1 token
+
+
+def test_similar_docs_cosine_higher(spark):
+    vecs = _spark_vecs(spark)
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    near = cos(vecs[0], vecs[3])   # one word differs
+    far = cos(vecs[0], vecs[2])    # disjoint vocabulary
+    assert near > far
+    assert near > 0.7
+
+
+def test_duckdb_twin_parity(spark):
+    svecs = _spark_vecs(spark, dim=16)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(TEXTS)))
+    for did, vec in con.execute(
+        f"SELECT doc_id, {sql_hash_embedding('text', 16)} FROM t"
+    ).fetchall():
+        got = [round(float(x), 9) for x in vec]
+        want = [round(x, 9) for x in svecs[did]]
+        assert got == want, did
