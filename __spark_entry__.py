@@ -478,6 +478,26 @@ def q_hash_embeddings(spark, sf):
     )
 
 
+def q_text_near_dup(spark, sf):
+    """Model-free embedding near-dup over TEXT: feature-hash each doc
+    (functions/embed.py) and run the distributed block-pair cogroup
+    GEMM, keeping pairs whose 4dp-ROUNDED cosine >= 0.92. The inner
+    GEMM threshold is slightly lower (0.9199) and the boundary
+    decision happens on the rounded value in BOTH engines: at sf0.1
+    the raw nearest-pair margin is only ~1e-6 (12.5M candidate pairs),
+    but flipping a rounded row needs fp jitter across a 5e-5 rounding
+    boundary — ~1e-16 in practice. Composes the two families:
+    text -> embedding -> exact all-pairs."""
+    from osmquadtreepostgis_spark.functions.embed import hash_embedding
+
+    emb = _docs(spark, sf).select(
+        F.col("doc_id").alias("vec_id"),
+        hash_embedding("text", 64).alias("embedding"),
+    )
+    pairs = KNN.ann_cosine_pairs_grid(emb, threshold=0.9199, block_rows=256)
+    return pairs.filter(F.col("cos_sim") >= 0.92)
+
+
 def q_corpus_stats(spark, sf):
     """Dataset-card corpus report: doc/token counts, exact token-count
     percentiles (p50/p90/p99), mean quality score, and per-language doc
@@ -1042,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": _shipped(q_curate_corpus),
         "corpus_stats": _shipped(q_corpus_stats),
         "hash_embeddings": _shipped(q_hash_embeddings),
+        "text_near_dup": _shipped(q_text_near_dup),
         "dedup_minhash_lsh": _shipped(q_dedup_minhash_lsh),
         "dedup_spans": _shipped(q_dedup_spans),
         "dedup_simhash": _shipped(q_dedup_simhash),
@@ -1128,6 +1149,19 @@ def _hash_embeddings_oracle() -> str:
                    FROM documents)
         SELECT doc_id, cast(r.j as bigint) AS j, round(vec[r.j + 1], 4) AS val
         FROM v, (SELECT unnest(range(0, 64)) AS j) r"""
+
+
+def _text_near_dup_oracle() -> str:
+    from osmquadtreepostgis_spark.functions.embed import sql_hash_embedding
+
+    cs = "list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))"
+    return f"""
+        WITH v AS (SELECT doc_id, {sql_hash_embedding('text', 64)} AS e
+                   FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round({cs}, 4) AS cos_sim
+        FROM v a JOIN v b ON a.doc_id < b.doc_id
+        WHERE round({cs}, 4) >= 0.92"""
 
 
 def _curate_oracle() -> str:
@@ -1546,6 +1580,7 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize": _url_normalize_oracle(),
         "curate_corpus": _curate_oracle(),
         "hash_embeddings": _hash_embeddings_oracle(),
+        "text_near_dup": _text_near_dup_oracle(),
         "corpus_stats": f"""
             WITH d AS (SELECT {TX.sql_token_count('text')} AS ntok,
                               {TX.sql_lang_id('text')} AS lang,

@@ -99,6 +99,7 @@ def main() -> None:
         "curate_corpus",
         "corpus_stats",
         "hash_embeddings",
+        "text_near_dup",
         "dedup_minhash_lsh",
         "dedup_spans",
         "dedup_simhash",
