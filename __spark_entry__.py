@@ -464,12 +464,11 @@ def q_hash_embeddings(spark, sf):
     """Feature-hashed doc embeddings (model-free, signed bucket counts
     L2-normalized), exploded to (doc_id, j, val) scalar rows for
     robust value-hash comparison."""
-    from osmquadtreepostgis_spark.functions.embed import hash_embedding
+    from osmquadtreepostgis_spark.functions.embed import hash_embeddings_frame
 
     return (
-        _docs(spark, sf)
-        .select("doc_id", hash_embedding("text", 64).alias("e"))
-        .select("doc_id", F.posexplode("e").alias("j", "v"))
+        hash_embeddings_frame(_docs(spark, sf), dim=64)
+        .select("doc_id", F.posexplode("embedding").alias("j", "v"))
         .select(
             "doc_id",
             F.col("j").cast("long").alias("j"),
@@ -488,11 +487,10 @@ def q_text_near_dup(spark, sf):
     but flipping a rounded row needs fp jitter across a 5e-5 rounding
     boundary — ~1e-16 in practice. Composes the two families:
     text -> embedding -> exact all-pairs."""
-    from osmquadtreepostgis_spark.functions.embed import hash_embedding
+    from osmquadtreepostgis_spark.functions.embed import hash_embeddings_frame
 
-    emb = _docs(spark, sf).select(
-        F.col("doc_id").alias("vec_id"),
-        hash_embedding("text", 64).alias("embedding"),
+    emb = hash_embeddings_frame(_docs(spark, sf), dim=64).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
     )
     pairs = KNN.ann_cosine_pairs_grid(emb, threshold=0.9199, block_rows=256)
     return pairs.filter(F.col("cos_sim") >= 0.92)

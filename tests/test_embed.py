@@ -65,3 +65,27 @@ def test_duckdb_twin_parity(spark):
         got = [round(float(x), 9) for x in vec]
         want = [round(x, 9) for x in svecs[did]]
         assert got == want, did
+
+
+def test_frame_variant_bit_identical_to_column(spark):
+    """hash_embeddings_frame (Arrow hot path) must equal the Column
+    variant bit-for-bit — ±1 integer sums are exact in float64, so
+    accumulation order cannot introduce drift."""
+    from osmquadtreepostgis_spark.functions.embed import hash_embeddings_frame
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    col = {
+        r["doc_id"]: list(r["e"])
+        for r in docs.select(
+            "doc_id", hash_embedding("text", 64).alias("e")
+        ).collect()
+    }
+    arr = {
+        r["doc_id"]: list(r["embedding"])
+        for r in hash_embeddings_frame(docs, dim=64).collect()
+    }
+    assert col.keys() == arr.keys()
+    for k in col:
+        assert col[k] == arr[k], k  # exact, not approx
