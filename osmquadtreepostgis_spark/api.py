@@ -89,6 +89,13 @@ def write_to_tables(
 
     out: dict = {"tables": {}, "ddl": ddl, "views": [], "errors": None}
     errors_dir = f"{out_dir.rstrip('/')}/_errors"
+    # The quarantine dir is append-mode and never truncated, so rows from
+    # a previous run into the same out_dir must not set this run's errors
+    # flag (ADVICE r3): tag every quarantined row with a per-run id and
+    # filter the final check to it.
+    import uuid
+
+    run_id = uuid.uuid4().hex
     written: dict[str, DataFrame] = {}
     any_validated = False
     for name, df in tables.items():
@@ -115,6 +122,7 @@ def write_to_tables(
                 # (one extra job per routed table, VERDICT r2 #4)
                 bad.withColumn("reason", F.lit("invalid_geometry_unrepairable")) \
                     .withColumn("src_table", F.lit(name)) \
+                    .withColumn("run_id", F.lit(run_id)) \
                     .write.mode("append").parquet(errors_dir)
                 any_validated = True
             df = df.filter(F.col("__valid") | F.col("way").isNotNull()).drop(
@@ -160,9 +168,14 @@ def write_to_tables(
             write_tables_copy_text(routed, f"{out_dir.rstrip('/')}/copy")
 
     if any_validated:
-        # ONE action for the whole run decides the errors flag
+        # ONE action for the whole run decides the errors flag; scoped to
+        # THIS run's rows so stale quarantine from earlier runs into the
+        # same out_dir doesn't flag a clean run (ADVICE r3).
         spark = elements.sparkSession
-        if not spark.read.parquet(errors_dir).isEmpty():
+        err = spark.read.parquet(errors_dir)
+        if "run_id" in err.columns:
+            err = err.filter(F.col("run_id") == run_id)
+        if not err.isEmpty():
             out["errors"] = errors_dir
     if written:
         out["views"] = register_compat_views(

@@ -77,7 +77,15 @@ def hash_embeddings_frame(
     faster and BIT-IDENTICAL: same md5 bucket/sign hashes, and the
     accumulated values are ±1 integer sums — exact in float64 under
     any summation order — so normalization divides identical numbers
-    (pinned against the Column variant in tests/test_embed.py)."""
+    (pinned against the Column variant in tests/test_embed.py).
+
+    NULL text rows embed to NULL — the same semantics as the Column
+    twin (``F.split`` of NULL is NULL, so the fold yields NULL).
+
+    The Python work per batch is one ``pd.factorize`` over the flat
+    token array plus two md5 calls per UNIQUE token (cached across
+    batches); the accumulation itself is a single ``np.bincount``
+    over linearized (doc, bucket) indices — no per-token Python."""
     import hashlib
 
     import numpy as np
@@ -87,46 +95,61 @@ def hash_embeddings_frame(
     out_schema = T.StructType(
         [
             df.schema[id_col],
-            T.StructField("embedding", T.ArrayType(T.DoubleType()), False),
+            T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
         ]
     )
 
     def embed(batches):
         cache: dict[str, tuple[int, float]] = {}
 
-        def tok_hash(t: str) -> tuple[int, float]:
-            hit = cache.get(t)
-            if hit is None:
-                b = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % dim
-                s = (
-                    1.0
-                    if int(
-                        hashlib.md5((t + "#s").encode()).hexdigest()[:15], 16
-                    )
-                    % 2
-                    == 0
-                    else -1.0
-                )
-                hit = (b, s)
-                cache[t] = hit
-            return hit
-
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
-            toks = pdf[text_col].str.split(" ")
-            lens = toks.str.len().to_numpy()
-            doc_idx = np.repeat(np.arange(n), lens)
-            flat = [t for row in toks for t in row]
-            hs = np.array([tok_hash(t) for t in flat], dtype=np.float64)
-            vec = np.zeros((n, dim), dtype=np.float64)
+            texts = pdf[text_col]
+            null_mask = texts.isna().to_numpy()
+            toks = texts.fillna("").str.split(" ")
+            lens = toks.str.len().to_numpy(dtype=np.int64)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            flat = np.empty(int(lens.sum()), dtype=object)
+            pos = 0
+            for row in toks:
+                flat[pos : pos + len(row)] = row
+                pos += len(row)
+            codes, uniques = pd.factorize(flat)
+            buckets = np.empty(len(uniques), dtype=np.int64)
+            signs = np.empty(len(uniques), dtype=np.float64)
+            for k, t in enumerate(uniques):
+                hit = cache.get(t)
+                if hit is None:
+                    b = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % dim
+                    s = (
+                        1.0
+                        if int(
+                            hashlib.md5((t + "#s").encode()).hexdigest()[:15],
+                            16,
+                        )
+                        % 2
+                        == 0
+                        else -1.0
+                    )
+                    hit = (b, s)
+                    cache[t] = hit
+                buckets[k], signs[k] = hit
             if len(flat):
-                np.add.at(vec, (doc_idx, hs[:, 0].astype(np.int64)), hs[:, 1])
+                lin = doc_idx * dim + buckets[codes]
+                vec = np.bincount(
+                    lin, weights=signs[codes], minlength=n * dim
+                ).reshape(n, dim)
+            else:
+                vec = np.zeros((n, dim), dtype=np.float64)
             norm = np.sqrt((vec * vec).sum(axis=1, keepdims=True))
             np.divide(vec, norm, out=vec, where=norm > 0)
+            emb = list(vec)
+            if null_mask.any():
+                emb = [None if m else e for m, e in zip(null_mask, emb)]
             yield pd.DataFrame(
-                {id_col: pdf[id_col].to_numpy(), "embedding": list(vec)}
+                {id_col: pdf[id_col].to_numpy(), "embedding": emb}
             )
 
     return df.select(id_col, text_col).mapInPandas(embed, out_schema)

@@ -17,6 +17,7 @@ __all__ = [
     "lang_id",
     "quality_score",
     "fingerprint",
+    "fingerprint128",
     "STOPWORDS_BY_LANG",
     "sql_token_count",
     "sql_lang_id",
@@ -109,6 +110,20 @@ def fingerprint(text) -> Column:
     dedup key)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def fingerprint128(text) -> tuple[Column, Column]:
+    """120-bit document fingerprint as two int64 halves (md5 hex chars
+    1-15 and 17-31) for state keys that must not collide at 10^12-doc
+    scale: expectation ~n²/2¹²¹ ≈ 10⁻¹³ merged pairs at n = 10^12,
+    vs ~1 per 10⁹ docs for the 60-bit single half. The low half is
+    byte-identical to :func:`fingerprint`, so (lo) keys and (lo, hi)
+    keys agree wherever the 60-bit key was already unique."""
+    c = F.col(text) if isinstance(text, str) else text
+    h = F.md5(c)
+    lo = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    hi = F.conv(F.substring(h, 17, 15), 16, 10).cast("long")
+    return lo, hi
 
 
 # --- ANSI-SQL twins (DuckDB dialect) ---------------------------------------

@@ -204,12 +204,21 @@ def resolve_duplicates(
     elif keep == "best_quality":
         if quality_col is None:
             raise ValueError("keep='best_quality' requires quality_col")
-        # one aggregate: pack (quality desc, id asc) into a struct max
-        winner = labeled.groupBy("cluster_id").agg(
-            F.max(
-                F.struct(F.col(quality_col), (-F.col(id_col)).alias("__nid"))
-            ).alias("__w")
-        ).select("cluster_id", (-F.col("__w.__nid")).alias("__winner"))
+        # Two small aggregates over the SAME shuffle key instead of the
+        # old single struct-max with a negated id: negation required a
+        # numeric id and failed analysis on string doc ids (ADVICE r3).
+        # Pass 1: max quality per cluster (F.max skips NULLs, yielding
+        # NULL only for an all-null cluster). Pass 2: min id among the
+        # rows null-safe-equal to that max — any orderable id type.
+        best = labeled.groupBy("cluster_id").agg(
+            F.max(quality_col).alias("__best_q")
+        )
+        winner = (
+            labeled.join(best, "cluster_id")
+            .filter(F.col(quality_col).eqNullSafe(F.col("__best_q")))
+            .groupBy("cluster_id")
+            .agg(F.min(id_col).alias("__winner"))
+        )
     else:
         raise ValueError(f"unknown keep policy {keep!r}")
     return (

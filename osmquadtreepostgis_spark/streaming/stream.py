@@ -191,13 +191,15 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator's output. State is O(#distinct contents); at web scale
     the fingerprint key is the same shuffle key the batch op uses.
 
-    Explicit trade vs the batch op: state carries the 60-bit
-    fingerprint ONLY (the batch groupBy keys on (fp, text) and so
-    never merges colliding texts). Keeping full text in streaming
-    state is exactly what one avoids; the collision expectation is
-    ~n²/2⁶¹ (≈1 merged pair per ~10⁹ docs) — widen ``fingerprint`` to
-    128 bits (two md5 halves) before running this at 10^12 docs."""
-    from ..functions.text import fingerprint
+    Explicit trade vs the batch op: state carries the fingerprint
+    ONLY (the batch groupBy keys on (fp, text) and so never merges
+    colliding texts). Keeping full text in streaming state is exactly
+    what one avoids, so the key is the 120-bit ``fingerprint128``
+    (two md5 int64 halves): collision expectation ~n²/2¹²¹ ≈ 10⁻¹³
+    merged pairs even at n = 10^12 docs. Equivalence to the batch op:
+    the low half IS the batch ``fingerprint``, and the batch groupBy's
+    extra text key only matters where md5 itself collides."""
+    from ..functions.text import fingerprint128
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stage = (
@@ -212,9 +214,10 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(str(stage))
     )
+    fp_lo, fp_hi = fingerprint128("text")
     return (
-        src.select(fingerprint("text").alias("fp"), "doc_id")
-        .groupBy("fp")
+        src.select(fp_lo.alias("fp_lo"), fp_hi.alias("fp_hi"), "doc_id")
+        .groupBy("fp_lo", "fp_hi")
         .agg(
             F.min("doc_id").alias("doc_id"),
             (F.count(F.lit(1)) - 1).alias("n_dupes"),

@@ -124,3 +124,46 @@ def test_written_tables_are_clustered_and_pruned(spark, elements, tmp_path):
     assert pruned.count() == full.filter(
         (full.quadtree >= lo) & (full.quadtree <= hi)
     ).count()
+
+
+def test_errors_quarantine_scoped_to_run(spark, elements, tmp_path):
+    """Unrepairable geometry -> quarantined with a reason AND the errors
+    flag; a SECOND clean run into the same out_dir must NOT inherit the
+    stale quarantine rows (ADVICE r3: append-mode _errors dir)."""
+    import numpy as np
+
+    from osmquadtreepostgis_spark import geom as g
+
+    # non-simple AND unrepairable: collinear-overlap spur
+    ring = np.array(
+        [(0.0, 0.0), (1.0, 0.0), (0.5, 0.0), (0.5, 1.0)], dtype=float
+    )
+    assert not g.ring_is_simple(ring) and g.repair_ring(ring) is None
+    bad_wkb = g.wkb_polygon([np.vstack([ring, ring[:1]])])
+
+    base = elements.limit(4)
+    first_id = base.select(F.min("osm_id")).first()[0]
+    good_wkb = g.wkb_polygon(
+        [np.array([(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)], dtype=float)]
+    )
+    way = F.when(
+        F.col("osm_id") == first_id, F.lit(bytearray(bad_wkb))
+    ).otherwise(F.lit(bytearray(good_wkb)))
+    out_dir = str(tmp_path / "q")
+    out1 = write_to_tables(
+        base, out_dir, table_prefix="t_q", lowzoom=[],
+        providers={"Geometry": way},
+    )
+    assert out1["errors"] is not None
+    err = spark.read.parquet(out1["errors"])
+    assert err.count() >= 1
+    assert err.filter(F.col("reason") == "invalid_geometry_unrepairable").count() >= 1
+    assert "run_id" in err.columns
+    # run 2: clean input, SAME out_dir -> stale rows remain on disk but
+    # the flag must be None
+    out2 = write_to_tables(
+        base, out_dir, table_prefix="t_q", lowzoom=[],
+        providers={"Geometry": F.lit(bytearray(good_wkb))},
+    )
+    assert out2["errors"] is None
+    assert spark.read.parquet(out1["errors"]).count() >= 1  # dir not wiped

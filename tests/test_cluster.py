@@ -103,6 +103,33 @@ def test_resolve_best_quality(spark):
     assert out == {1: False, 2: True, 3: False, 4: False}
 
 
+def test_resolve_best_quality_string_ids(spark):
+    """best_quality must work for NON-numeric doc ids (ADVICE r3: the
+    old struct-max negated the id, failing analysis on strings), and a
+    null-quality doc wins only in an all-null cluster."""
+    docs = spark.createDataFrame(
+        [("a", 0.2), ("b", 0.9), ("c", 0.9), ("d", None),
+         ("x", None), ("y", None)],
+        "doc_id string, q double",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    out = {
+        r["doc_id"]: r["keep"]
+        for r in resolve_duplicates(
+            docs, pairs, keep="best_quality", quality_col="q"
+        ).collect()
+    }
+    # cluster {a,b,c,d}: max q 0.9 tied b/c -> min id 'b'
+    # cluster {x,y}: all-null quality -> min id 'x'
+    assert out == {
+        "a": False, "b": True, "c": False, "d": False,
+        "x": True, "y": False,
+    }
+
+
 def test_cc_durable_checkpoint_branch(spark, tmp_path):
     """use_local_checkpoint=False goes through the durable checkpoint
     dir (the fault-tolerant cluster path)."""

@@ -89,3 +89,29 @@ def test_frame_variant_bit_identical_to_column(spark):
     assert col.keys() == arr.keys()
     for k in col:
         assert col[k] == arr[k], k  # exact, not approx
+
+
+def test_frame_variant_null_text_matches_column(spark):
+    """NULL text embeds to NULL in BOTH variants (ADVICE r3: the hot
+    path used to crash on NaN from .str.split)."""
+    from osmquadtreepostgis_spark.functions.embed import hash_embeddings_frame
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, ""), (4, None)],
+        "doc_id bigint, text string",
+    )
+    col = {
+        r["doc_id"]: None if r["e"] is None else list(r["e"])
+        for r in docs.select(
+            "doc_id", hash_embedding("text", 16).alias("e")
+        ).collect()
+    }
+    arr = {
+        r["doc_id"]: None
+        if r["embedding"] is None
+        else list(r["embedding"])
+        for r in hash_embeddings_frame(docs, dim=16).collect()
+    }
+    assert col == arr
+    assert col[2] is None and col[4] is None
+    assert col[1] is not None and col[3] is not None

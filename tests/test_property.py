@@ -1,7 +1,7 @@
 """Hypothesis property tests for the numpy kernels (no Spark)."""
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from osmquadtreepostgis_spark import geom as g
@@ -117,18 +117,28 @@ def test_simplify_endpoints_and_subset(pts, tol):
         max_size=12,
     )
 )
+@example([(1.0, 0.0), (0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (1.0, 0.0)])
 @settings(max_examples=60, deadline=None)
 def test_repair_ring_invariants(pts):
     """repair_ring: simple rings pass through (single identical part);
     repaired rings always split into simple parts whose total absolute
     area is positive; repair never raises on proper-crossing input."""
     ring = np.array(pts, dtype=np.float64)
-    if (ring[0] == ring[-1]).all():
-        ring = ring[:-1]  # drop explicit closure (repair_ring does too)
-    # drop consecutive duplicates (degenerate edges)
-    keep = np.ones(len(ring), dtype=bool)
-    keep[1:] = (np.abs(np.diff(ring, axis=0)).sum(axis=1) > 1e-9)
-    ring = ring[keep]
+    # Normalize CIRCULARLY until stable: strip explicit closure(s) and
+    # consecutive-duplicate edges including the wrap-around pair.  A ring
+    # whose last TWO points equal the first (e.g. the pinned example below)
+    # needs more than one pass — a single non-circular pass left it closed
+    # and made the pass-through assertion compare (3,2) vs (4,2).
+    while True:
+        if len(ring) >= 2 and np.abs(ring[0] - ring[-1]).sum() <= 1e-9:
+            ring = ring[:-1]
+            continue
+        keep = np.ones(len(ring), dtype=bool)
+        if len(ring) >= 2:
+            keep[1:] = np.abs(np.diff(ring, axis=0)).sum(axis=1) > 1e-9
+        if keep.all():
+            break
+        ring = ring[keep]
     if len(ring) < 3:
         return
     parts = g.repair_ring(ring)
