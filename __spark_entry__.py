@@ -496,6 +496,30 @@ def q_text_near_dup(spark, sf):
     return pairs.filter(F.col("cos_sim") >= 0.92)
 
 
+def q_image_near_dup(spark, sf):
+    """Multimodal near-dup composition: opaque binary payloads (utf-8
+    bytes of the ASCII fixture text standing in for image bytes) ->
+    byte-histogram features (functions/multimodal.py, one bincount per
+    Arrow batch) -> the SAME distributed block-pair cogroup GEMM the
+    text path uses. Threshold decided on the 4dp-rounded cosine in
+    both engines (min raw boundary margin 6e-8 at sf0.1 vs ~1e-15
+    engine fp skew). Oracle trick: cosine is scale-invariant, so the
+    DuckDB twin works on raw integer byte counts via a sparse
+    bucket-join — no dense 64-vector construction in SQL."""
+    from osmquadtreepostgis_spark.functions.multimodal import (
+        byte_histogram_features,
+    )
+
+    d = _docs(spark, sf).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    emb = byte_histogram_features(d, dim=64).select(
+        F.col("doc_id").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    pairs = KNN.ann_cosine_pairs_grid(emb, threshold=0.9994, block_rows=512)
+    return pairs.filter(F.col("cos_sim") >= 0.9995)
+
+
 def q_corpus_stats(spark, sf):
     """Dataset-card corpus report: doc/token counts, exact token-count
     percentiles (p50/p90/p99), mean quality score, and per-language doc
@@ -544,6 +568,22 @@ def q_curate_corpus(spark, sf):
     )
 
 
+def q_curate_corpus_minhash(spark, sf):
+    """curate_corpus with pair_mode='minhash_verified' — the 100 TB
+    self-dedup shape: MinHash band shuffle proposes candidates, exact
+    Jaccard verifies them (plans/curation.py). On this fixture LSH
+    recalls every true pair, so the output (and oracle) equals the
+    exact mode."""
+    from osmquadtreepostgis_spark.plans.curation import curate_corpus
+
+    docs = _docs(spark, sf)
+    return curate_corpus(
+        docs.filter(F.col("doc_id") >= 100),
+        seen=docs.filter(F.col("doc_id") < 100),
+        pair_mode="minhash_verified",
+    )
+
+
 def q_url_normalize(spark, sf):
     """URL canonicalization over deterministically synthesized messy
     urls (three shapes: uppercase host + default port + tracking
@@ -583,6 +623,55 @@ def q_url_normalize(spark, sf):
         normalize_url(url).alias("url_norm"),
         url_host(url).alias("host"),
         registered_domain(url).alias("domain"),
+    )
+
+
+def q_domain_stats(spark, sf):
+    """Per-registered-domain page/host stats through the TABLE-DRIVEN
+    public-suffix path (functions/urls.py:with_registered_domain +
+    psl_frame): synthesized hosts exercise all three PSL rule forms —
+    plain (`co.uk`, `com`), wildcard (`*.ck`), exception (`!www.ck`)
+    — resolved by candidate-suffix explode over DISTINCT hosts and a
+    broadcast rule join, exception-beats-all else longest-match."""
+    from osmquadtreepostgis_spark.functions.urls import (
+        psl_frame,
+        url_host,
+        with_registered_domain,
+    )
+
+    d = _docs(spark, sf)
+    k = (F.col("doc_id") % 23).cast("string")
+    i = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("https://www.site"), k, F.lit(".co.uk/p/"), i),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("https://host"), k, F.lit(".example.com/q/"), i),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit("https://app"), k, F.lit(".github.io/r/"), i),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("https://bar"), k, F.lit(".www.ck/s/"), i),
+        )
+        .otherwise(
+            F.concat(F.lit("https://a"), k, F.lit(".b"), k, F.lit(".ck/t/"), i)
+        )
+    )
+    pages = d.select("doc_id", url.alias("url"))
+    out = with_registered_domain(pages, "url", psl=psl_frame(spark))
+    return (
+        out.select(url_host("url").alias("host"), "registered_domain")
+        .groupBy(F.col("registered_domain").alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
     )
 
 
@@ -1057,10 +1146,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": _shipped(q_html_extract),
         "repetition_signals": _shipped(q_repetition_signals),
         "url_normalize": _shipped(q_url_normalize),
+        "domain_stats": _shipped(q_domain_stats),
         "curate_corpus": _shipped(q_curate_corpus),
+        "curate_corpus_minhash": _shipped(q_curate_corpus_minhash),
         "corpus_stats": _shipped(q_corpus_stats),
         "hash_embeddings": _shipped(q_hash_embeddings),
         "text_near_dup": _shipped(q_text_near_dup),
+        "image_near_dup": _shipped(q_image_near_dup),
         "dedup_minhash_lsh": _shipped(q_dedup_minhash_lsh),
         "dedup_spans": _shipped(q_dedup_spans),
         "dedup_simhash": _shipped(q_dedup_simhash),
@@ -1162,6 +1254,32 @@ def _text_near_dup_oracle() -> str:
         WHERE round({cs}, 4) >= 0.92"""
 
 
+def _image_near_dup_oracle() -> str:
+    # cosine is scale-invariant: the L1 normalization the Spark path
+    # applies cancels, so the twin runs on integer byte-bucket counts
+    # (bucket = codepoint // 4 == byte // 4 for the ASCII fixture)
+    return """
+        WITH b AS (
+          SELECT doc_id,
+                 cast(floor(unicode(ch) / 4) AS int) AS bk
+          FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                FROM documents)),
+        cnt AS (SELECT doc_id, bk, cast(count(*) AS double) AS c
+                FROM b GROUP BY 1, 2),
+        nrm AS (SELECT doc_id, sqrt(sum(c * c)) AS nn FROM cnt GROUP BY 1),
+        dot AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       sum(a.c * b.c) AS d
+                FROM cnt a JOIN cnt b
+                  ON a.bk = b.bk AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(d / (na.nn * nb.nn), 4) AS cos_sim
+        FROM dot
+        JOIN nrm na ON na.doc_id = id_a
+        JOIN nrm nb ON nb.doc_id = id_b
+        WHERE round(d / (na.nn * nb.nn), 4) >= 0.9995"""
+
+
 def _curate_oracle() -> str:
     from osmquadtreepostgis_spark.functions.repetition import (
         sql_dup_ngram_frac,
@@ -1258,6 +1376,40 @@ def _url_normalize_oracle() -> str:
                {sql_url_host(url)} AS host,
                {sql_registered_domain(url)} AS domain
         FROM documents"""
+
+
+def _domain_stats_oracle() -> str:
+    from osmquadtreepostgis_spark.functions.urls import (
+        sql_registered_domain_psl,
+        sql_url_host,
+    )
+
+    url = (
+        "(CASE WHEN doc_id % 5 = 0 THEN "
+        "'https://www.site' || cast(doc_id % 23 as varchar) || "
+        "'.co.uk/p/' || cast(doc_id as varchar) "
+        "WHEN doc_id % 5 = 1 THEN "
+        "'https://host' || cast(doc_id % 23 as varchar) || "
+        "'.example.com/q/' || cast(doc_id as varchar) "
+        "WHEN doc_id % 5 = 2 THEN "
+        "'https://app' || cast(doc_id % 23 as varchar) || "
+        "'.github.io/r/' || cast(doc_id as varchar) "
+        "WHEN doc_id % 5 = 3 THEN "
+        "'https://bar' || cast(doc_id % 23 as varchar) || "
+        "'.www.ck/s/' || cast(doc_id as varchar) "
+        "ELSE 'https://a' || cast(doc_id % 23 as varchar) || "
+        "'.b' || cast(doc_id % 23 as varchar) || "
+        "'.ck/t/' || cast(doc_id as varchar) END)"
+    )
+    psl = sql_registered_domain_psl("SELECT DISTINCT host FROM ph")
+    return f"""
+        WITH ph AS (SELECT {sql_url_host(url)} AS host FROM documents),
+        map AS ({psl})
+        SELECT m.etld1 AS domain,
+               count(*) AS n_pages,
+               count(DISTINCT p.host) AS n_hosts
+        FROM ph p JOIN map m ON m.host = p.host
+        GROUP BY 1"""
 
 
 def _repetition_oracle() -> str:
@@ -1576,9 +1728,15 @@ def oracle_sql() -> dict[str, str]:
             FROM inter WHERE cast(i as double) / (sa + sb - i) >= 0.5""",
         "repetition_signals": _repetition_oracle(),
         "url_normalize": _url_normalize_oracle(),
+        "domain_stats": _domain_stats_oracle(),
         "curate_corpus": _curate_oracle(),
+        # the minhash-verified mode is exact-precision; on this fixture
+        # LSH recalls every >=0.5 pair (verified at sf0.001/0.01), so
+        # the exact-mode oracle is its twin too
+        "curate_corpus_minhash": _curate_oracle(),
         "hash_embeddings": _hash_embeddings_oracle(),
         "text_near_dup": _text_near_dup_oracle(),
+        "image_near_dup": _image_near_dup_oracle(),
         "corpus_stats": f"""
             WITH d AS (SELECT {TX.sql_token_count('text')} AS ntok,
                               {TX.sql_lang_id('text')} AS lang,

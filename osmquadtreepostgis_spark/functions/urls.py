@@ -36,9 +36,13 @@ __all__ = [
     "url_host",
     "registered_domain",
     "normalize_url",
+    "DEFAULT_PSL_RULES",
+    "psl_frame",
+    "with_registered_domain",
     "sql_url_host",
     "sql_registered_domain",
     "sql_normalize_url",
+    "sql_registered_domain_psl",
 ]
 
 _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+).*$"
@@ -110,6 +114,186 @@ def normalize_url(url) -> Column:
     return F.when(scheme == "", u).otherwise(
         F.concat(scheme, F.lit("://"), hp, path, qnorm)
     )
+
+
+# --- PSL-as-data (the broadcast-table upgrade path) ------------------------
+
+# A publicsuffix.org-style snapshot SUBSET, exercising all three rule
+# forms of the PSL format: plain suffixes, wildcard rules (`*.ck`:
+# every direct child of ck is a public suffix), and exception rules
+# (`!www.ck`: www.ck is NOT a public suffix despite the wildcard).
+# At deploy time swap this literal for the full downloaded list — the
+# table shape and the matching plan are unchanged.
+DEFAULT_PSL_RULES = [
+    "com", "org", "net", "edu", "gov", "io", "de", "fr", "jp", "uk", "au",
+    "co.uk", "org.uk", "gov.uk", "ac.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp",
+    "github.io",
+    "*.ck",
+    "!www.ck",
+]
+
+_PSL_MAX_LABELS = 4  # longest rule in the snapshot, incl. wildcard depth
+
+
+def psl_frame(spark, rules: list[str] | None = None):
+    """Public-suffix rules as a DataFrame ``(match, kind, ps_labels)``:
+
+    * plain rule ``co.uk``  -> ('co.uk',  'plain', 2)
+    * wildcard ``*.ck``     -> ('ck',     'wild',  2) — matches any
+      suffix whose PARENT (all labels but the first) equals `match`
+    * exception ``!www.ck`` -> ('www.ck', 'exc',   2) — the public
+      suffix is the rule MINUS its leftmost label
+
+    Tiny by construction (the full PSL is ~10k rows) — always
+    broadcast."""
+    rows = []
+    for r in rules if rules is not None else DEFAULT_PSL_RULES:
+        if r.startswith("!"):
+            body = r[1:]
+            rows.append((body, "exc", len(body.split(".")) - 1))
+        elif r.startswith("*."):
+            body = r[2:]
+            rows.append((body, "wild", len(body.split(".")) + 1))
+        else:
+            rows.append((r, "plain", len(r.split("."))))
+    return spark.createDataFrame(rows, "match string, kind string, ps_labels int")
+
+
+def with_registered_domain(
+    df,
+    url,
+    psl=None,
+    out_col: str = "registered_domain",
+):
+    """``df`` + an eTLD+1 column computed against a PSL snapshot table
+    (:func:`psl_frame`), or via the :func:`registered_domain`
+    heuristic Column when ``psl`` is None.
+
+    Table-driven plan (the 100 TB shape): project DISTINCT hosts
+    (shrinks ~10^12 rows to ~10^8 hosts), explode each host's last-k
+    suffixes (k <= max rule depth, so <= 4 rows/host), broadcast-join
+    the rule table twice (plain/exception on the suffix, wildcard on
+    the suffix's parent), pick per host: exception beats all (public
+    suffix = rule minus leftmost label), else the LONGEST matching
+    rule, else the default ``*`` rule (1 label). eTLD+1 = public
+    suffix + one preceding label (the host itself when it IS a public
+    suffix). One host-keyed shuffle joins the verdict back."""
+    u = _col(url)
+    if psl is None:
+        return df.withColumn(out_col, registered_domain(u))
+    hosts = df.select(url_host(u).alias("__host")).distinct()
+    labels = F.split(F.col("__host"), r"\.")
+    n = F.size(labels)
+    maxk = F.least(n, F.lit(_PSL_MAX_LABELS))
+    cand = hosts.select(
+        "__host",
+        n.alias("__n"),
+        labels.alias("__labels"),
+        F.explode(F.sequence(F.lit(1), maxk)).alias("__k"),
+    ).select(
+        "__host",
+        "__n",
+        "__k",
+        F.concat_ws(
+            ".", F.slice("__labels", F.col("__n") - F.col("__k") + 1, F.col("__k"))
+        ).alias("__suffix"),
+        F.when(
+            F.col("__k") >= 2,
+            F.concat_ws(
+                ".",
+                F.slice("__labels", F.col("__n") - F.col("__k") + 2, F.col("__k") - 1),
+            ),
+        ).alias("__parent"),
+    )
+    plain = psl.filter(F.col("kind") != "wild")
+    wild = psl.filter(F.col("kind") == "wild")
+    m1 = cand.join(
+        F.broadcast(plain), cand["__suffix"] == plain["match"]
+    ).select("__host", "kind", "ps_labels")
+    m2 = cand.join(
+        F.broadcast(wild),
+        (cand["__parent"] == wild["match"]) & (cand["__k"] == wild["ps_labels"]),
+    ).select("__host", "kind", "ps_labels")
+    verdict = (
+        m1.unionByName(m2)
+        .groupBy("__host")
+        .agg(
+            F.min(F.when(F.col("kind") == "exc", F.col("ps_labels"))).alias("__exc"),
+            F.max(F.when(F.col("kind") != "exc", F.col("ps_labels"))).alias("__best"),
+        )
+        .select(
+            "__host",
+            F.coalesce("__exc", "__best").alias("__ps"),
+        )
+    )
+    hl = F.split(F.col("__host"), r"\.")
+    hn = F.size(hl)
+    ps = F.coalesce(F.col("__ps"), F.lit(1))  # default '*' rule
+    take = F.least(hn, ps + 1)
+    etld1 = hosts.join(verdict, "__host", "left").select(
+        "__host",
+        F.concat_ws(".", F.slice(hl, hn - take + 1, take)).alias("__etld1"),
+    )
+    return (
+        df.withColumn("__host", url_host(u))
+        .join(etld1, "__host", "left")
+        .withColumn(out_col, F.col("__etld1"))
+        .drop("__host", "__etld1")
+    )
+
+
+def sql_registered_domain_psl(
+    hosts_sql: str, rules: list[str] | None = None
+) -> str:
+    """DuckDB twin of the table-driven path, built from the SAME rule
+    list. ``hosts_sql`` is a query producing one column ``host``;
+    returns a full SELECT mapping ``(host, etld1)`` via the identical
+    algorithm: candidate last-k-suffix explode, rule join
+    (plain/exception on suffix, wildcard on parent at the rule's
+    depth), exception-beats-all else longest-match else the default
+    ``*`` rule."""
+    rows = []
+    for r in rules if rules is not None else DEFAULT_PSL_RULES:
+        if r.startswith("!"):
+            body = r[1:]
+            rows.append((body, "exc", len(body.split(".")) - 1))
+        elif r.startswith("*."):
+            body = r[2:]
+            rows.append((body, "wild", len(body.split(".")) + 1))
+        else:
+            rows.append((r, "plain", len(r.split("."))))
+    vals = ", ".join(f"('{m}', '{k}', {p})" for m, k, p in rows)
+    return f"""
+        WITH hosts AS ({hosts_sql}),
+        lab AS (SELECT host, string_split(host, '.') AS ls,
+                       len(string_split(host, '.')) AS n
+                FROM hosts),
+        cand AS (SELECT host, n, cast(k AS int) AS k,
+                        array_to_string(ls[n - k + 1 : n], '.') AS suffix,
+                        CASE WHEN k >= 2
+                          THEN array_to_string(ls[n - k + 2 : n], '.') END
+                          AS parent
+                 FROM lab CROSS JOIN
+                      unnest(range(1, least(n, {_PSL_MAX_LABELS}) + 1))
+                        AS t(k)),
+        rules(match, kind, ps_labels) AS (SELECT * FROM (VALUES {vals})),
+        m AS (SELECT host, kind, ps_labels
+              FROM cand JOIN rules
+                ON (kind <> 'wild' AND suffix = match)
+                OR (kind = 'wild' AND parent = match AND k = ps_labels)),
+        v AS (SELECT host,
+                     coalesce(
+                       min(CASE WHEN kind = 'exc' THEN ps_labels END),
+                       max(CASE WHEN kind <> 'exc' THEN ps_labels END))
+                       AS ps
+              FROM m GROUP BY host)
+        SELECT l.host,
+               array_to_string(
+                 l.ls[l.n - least(l.n, coalesce(v.ps, 1) + 1) + 1 : l.n],
+                 '.') AS etld1
+        FROM lab l LEFT JOIN v ON v.host = l.host"""
 
 
 # --- DuckDB twins ----------------------------------------------------------

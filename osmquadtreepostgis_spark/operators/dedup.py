@@ -34,6 +34,7 @@ __all__ = [
     "set_jaccard_join",
     "dedup_against",
     "minhash_lsh_pairs",
+    "minhash_verified_pairs",
     "simhash_pairs",
     "duplicate_spans",
 ]
@@ -463,6 +464,61 @@ def minhash_lsh_pairs(
         "id_a",
         "id_b",
         F.round(agree.cast("double") / float(n_hashes), 4).alias("est_jaccard"),
+    )
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    threshold: float,
+    n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH candidate generation + EXACT Jaccard verification —
+    the 100 TB near-dup shape: the band shuffle proposes candidate
+    pairs (never all pairs, never the full inverted index), then the
+    true shingle-set Jaccard is computed on candidates only and pairs
+    below ``threshold`` are discarded.
+
+    Output matches :func:`ngram_jaccard_pairs` — (id_a, id_b, jaccard
+    rounded 4dp), id_a < id_b — restricted to pairs LSH recalled: a
+    true pair sharing NO band is missed (probability (1-t^r)^b for
+    Jaccard t, r rows/band). Verification makes precision exact; only
+    recall is probabilistic.
+
+    Scale shape vs the exact operator: the inverted-index self-join's
+    prefix explode is O(corpus × prefix); the LSH path's heavy stage
+    is one signature aggregate (O(corpus) rows through a groupBy) plus
+    a band-bucket equi-join whose left/right sides are bounded by
+    bucket occupancy. Verification joins the candidate pairs (tiny at
+    web-scale dup rates) back to the shingle arrays twice.
+    """
+    cand = minhash_lsh_pairs(
+        df,
+        n_hashes=n_hashes,
+        bands=bands,
+        n=n,
+        id_col=id_col,
+        text_col=text_col,
+    ).select("id_a", "id_b")
+    toks = df.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    sh = toks.select("id", word_shingles_tokens(F.col("__toks"), n).alias("__sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("__sh").alias("__fa"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("__sh").alias("__fb"))
+    inter = F.size(F.array_intersect("__fa", "__fb"))
+    j = inter / (F.size("__fa") + F.size("__fb") - inter)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", j)
+        # NULL jaccard (both shingle sets empty -> 0/0) fails the
+        # filter, matching ngram_jaccard_pairs (empty sets never join)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
 
 

@@ -38,7 +38,11 @@ from pyspark.sql import functions as F
 from ..functions.repetition import dup_ngram_frac, top_ngram_frac
 from ..operators.cluster import resolve_duplicates
 from ..operators.corpus import quality_filter
-from ..operators.dedup import dedup_against, ngram_jaccard_pairs
+from ..operators.dedup import (
+    dedup_against,
+    minhash_verified_pairs,
+    ngram_jaccard_pairs,
+)
 
 __all__ = ["curate_corpus"]
 
@@ -54,8 +58,22 @@ def curate_corpus(
     jaccard_threshold: float = 0.5,
     shingle_n: int = 3,
     materialize: bool = True,
+    pair_mode: str = "exact",
+    n_hashes: int = 16,
+    bands: int = 4,
 ) -> DataFrame:
     """One-pass curation audit over ``docs`` (see module docstring).
+
+    ``pair_mode`` selects the self-dedup candidate machinery:
+
+    * ``"exact"`` (default) — prefix-filtered inverted-index
+      :func:`..operators.dedup.ngram_jaccard_pairs`; exhaustive.
+    * ``"minhash_verified"`` — the 100 TB shape:
+      :func:`..operators.dedup.minhash_verified_pairs` generates
+      candidates via the MinHash band shuffle and verifies them with
+      exact Jaccard, so precision is exact and only recall is
+      probabilistic (a true pair sharing no band is missed with
+      probability (1-t^r)^b).
 
     ``materialize`` cuts lineage (``localCheckpoint``) after the
     rule stage and after the incremental stage.  The dedup machinery
@@ -105,10 +123,19 @@ def curate_corpus(
     survivors = audited.filter(
         F.col("keep_quality") & F.col("keep_repetition") & F.col("keep_not_seen")
     ).select(id_col, text_col)
-    pairs = ngram_jaccard_pairs(
-        survivors, threshold=jaccard_threshold, n=shingle_n,
-        id_col=id_col, text_col=text_col,
-    )
+    if pair_mode == "exact":
+        pairs = ngram_jaccard_pairs(
+            survivors, threshold=jaccard_threshold, n=shingle_n,
+            id_col=id_col, text_col=text_col,
+        )
+    elif pair_mode == "minhash_verified":
+        pairs = minhash_verified_pairs(
+            survivors, threshold=jaccard_threshold, n=shingle_n,
+            n_hashes=n_hashes, bands=bands,
+            id_col=id_col, text_col=text_col,
+        )
+    else:
+        raise ValueError(f"unknown pair_mode {pair_mode!r}")
     resolved = resolve_duplicates(
         survivors.select(id_col), pairs, id_col=id_col
     ).select(id_col, F.col("keep").alias("__canonical"))

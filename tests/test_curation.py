@@ -64,3 +64,48 @@ def test_curated_corpus_exports_to_jsonl(spark, tmp_path):
     assert len(glob.glob(f"{out}/part-*.json.gz")) == 2
     back = spark.read.json(out)
     assert back.count() == kept.count() > 0
+
+
+def test_minhash_verified_mode_matches_exact_on_fixture(spark, audit):
+    """pair_mode='minhash_verified' (band-shuffle candidates + exact
+    Jaccard verification) equals the exact mode on the fixture — LSH
+    recalls every >=0.5 pair here, and verification makes precision
+    exact by construction."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mh = curate_corpus(
+        docs.filter(F.col("doc_id") >= 100),
+        seen=docs.filter(F.col("doc_id") < 100),
+        pair_mode="minhash_verified",
+    ).toPandas()
+    a = audit.sort_values("doc_id", ignore_index=True)
+    b = mh.sort_values("doc_id", ignore_index=True)
+    assert a.equals(b)
+
+
+def test_unknown_pair_mode_raises(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with pytest.raises(ValueError, match="pair_mode"):
+        curate_corpus(docs, pair_mode="nope").collect()
+
+
+def test_minhash_verified_pairs_subset_of_exact(spark):
+    """minhash_verified_pairs returns a SUBSET of ngram_jaccard_pairs
+    with identical jaccard values on the shared pairs (verification
+    gives exact precision; only recall is probabilistic)."""
+    from osmquadtreepostgis_spark.operators.dedup import (
+        minhash_verified_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    mh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_verified_pairs(docs, threshold=0.5).collect()
+    }
+    assert mh  # non-vacuous
+    for k, v in mh.items():
+        assert k in exact and exact[k] == v, k

@@ -98,3 +98,61 @@ def test_normalize_idempotent(spark):
         normalize_url(normalize_url("url")).alias("n2"),
     )
     assert twice.filter(F.col("n1") != F.col("n2")).count() == 0
+
+
+PSL_CASES = [
+    # (host, expected eTLD+1) — exercises all three PSL rule forms
+    ("www.example.co.uk", "example.co.uk"),   # plain 2-label rule
+    ("example.com", "example.com"),           # plain 1-label rule
+    ("foo.github.io", "foo.github.io"),       # private-domain rule
+    ("www.ck", "www.ck"),                     # exception !www.ck
+    ("bar.www.ck", "www.ck"),                 # exception beats wildcard
+    ("x.y.ck", "x.y.ck"),                     # wildcard *.ck
+    ("ck", "ck"),                             # bare public suffix
+    ("localhost", "localhost"),               # default '*' rule
+    ("a.b.c.d.co.uk", "d.co.uk"),             # deep host, longest match
+]
+
+
+def test_psl_table_driven_registered_domain(spark):
+    """with_registered_domain(psl=...) — candidate-suffix explode +
+    broadcast rule join — implements the publicsuffix.org algorithm
+    (exception beats all, else longest match, else '*') and matches
+    the DuckDB twin built from the same rule list."""
+    import duckdb
+
+    from osmquadtreepostgis_spark.functions.urls import (
+        psl_frame,
+        sql_registered_domain_psl,
+        with_registered_domain,
+    )
+
+    df = spark.createDataFrame(
+        [(h, f"https://{h}/p") for h, _ in PSL_CASES], "host string, url string"
+    )
+    got = {
+        r["host"]: r["registered_domain"]
+        for r in with_registered_domain(df, "url", psl=psl_frame(spark)).collect()
+    }
+    assert got == dict(PSL_CASES)
+    vals = ", ".join(f"('{h}')" for h, _ in PSL_CASES)
+    con = duckdb.connect()
+    twin = con.sql(
+        sql_registered_domain_psl(f"SELECT * FROM (VALUES {vals}) AS t(host)")
+    ).fetchall()
+    assert {h: e for h, e in twin} == dict(PSL_CASES)
+
+
+def test_psl_none_falls_back_to_heuristic(spark):
+    from osmquadtreepostgis_spark.functions.urls import (
+        registered_domain,
+        with_registered_domain,
+    )
+
+    df = spark.createDataFrame(
+        [("https://www.example.co.uk/p",), ("https://a.example.com/q",)],
+        "url string",
+    )
+    a = with_registered_domain(df, "url").select("registered_domain").collect()
+    b = df.select(registered_domain("url").alias("registered_domain")).collect()
+    assert a == b
