@@ -44,6 +44,7 @@ __all__ = [
     "dup_line_char_frac",
     "top_ngram_frac",
     "dup_ngram_frac",
+    "repetition_signals_frame",
     "sql_dup_line_frac",
     "sql_dup_line_char_frac",
     "sql_top_ngram_frac",
@@ -174,6 +175,122 @@ def top_ngram_frac(text, n: int = 2) -> Column:
 def dup_ngram_frac(text, n: int = 5) -> Column:
     """Fraction of n-gram occurrences that are repeats."""
     return _dup_frac(_grams(text, n))
+
+
+def repetition_signals_frame(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_delim: str = "\n",
+    top_n: int = 2,
+    dup_n: int = 5,
+    mode: str = "inrow",
+):
+    """All four Gopher signals as one frame
+    ``(id, dup_line_frac, dup_line_char_frac, top_ngram_frac,
+    dup_ngram_frac)`` with a ``mode`` switch:
+
+    * ``"inrow"`` (default) — the pure-Column sorted-run aggregates
+      above, fused into the scan; the right shape for real web docs
+      (thousands of lines), where each row's arrays are small.
+    * ``"explode"`` — the pathological-giant-doc fallback: a
+      10^8-token book cannot live as one in-row array, so lines and
+      n-grams are EXPLODED and counted via groupBy(doc, element) —
+      splittable by (doc, element) key, bounded task memory. N-grams
+      are built distributively by joining the positioned token table
+      with itself n-1 times on (doc, pos+j) — no giant row anywhere.
+
+    Both modes compute identical integer intermediates, so the double
+    divisions agree EXACTLY (pinned in tests/test_repetition.py).
+    ``mode='explode'`` requires non-null text (filter or fillna
+    first); the in-row Columns map null text to 0.0.
+    """
+    ic = F.col(id_col)
+    if mode == "inrow":
+        return df.select(
+            ic,
+            dup_line_frac(text_col, line_delim).alias("dup_line_frac"),
+            dup_line_char_frac(text_col, line_delim).alias(
+                "dup_line_char_frac"
+            ),
+            top_ngram_frac(text_col, top_n).alias("top_ngram_frac"),
+            dup_ngram_frac(text_col, dup_n).alias("dup_ngram_frac"),
+        )
+    if mode != "explode":
+        raise ValueError(f"unknown mode {mode!r}")
+    base = df.select(ic, F.col(text_col).alias("__t"))
+    ntok = base.select(ic, F.size(F.split("__t", " ")).alias("__ntok"))
+    # --- line signals: explode -> count per (doc, line) -> per-doc agg
+    ln = base.select(ic, F.explode(F.split("__t", line_delim)).alias("__l"))
+    lc = ln.groupBy(ic, "__l").agg(F.count(F.lit(1)).alias("__c"))
+    lagg = lc.groupBy(ic).agg(
+        F.sum("__c").alias("__nl"),
+        F.count(F.lit(1)).alias("__dl"),
+        F.sum(F.col("__c") * F.length("__l")).alias("__tc"),
+        F.sum(
+            F.when(F.col("__c") > 1, F.col("__c") * F.length("__l")).otherwise(
+                F.lit(0)
+            )
+        ).alias("__dc"),
+    )
+    # --- gram signals: positioned tokens, n-way position self-join
+    toks = base.select(
+        ic, F.posexplode(F.split("__t", " ")).alias("__p", "__w0")
+    )
+    grams = None
+    for top_or_dup, n in (("top", top_n), ("dup", dup_n)):
+        g = toks
+        parts = [F.col("__w0")]
+        for j in range(1, n):
+            nxt = toks.select(
+                ic,
+                (F.col("__p") - j).alias("__p"),
+                F.col("__w0").alias(f"__w{j}"),
+            )
+            g = g.join(nxt, [id_col, "__p"])
+            parts.append(F.col(f"__w{j}"))
+        g = g.select(ic, F.concat_ws(" ", *parts).alias("__g"))
+        gc = g.groupBy(ic, "__g").agg(F.count(F.lit(1)).alias("__c"))
+        gagg = gc.groupBy(ic).agg(
+            F.sum("__c").alias(f"__{top_or_dup}_ng"),
+            F.count(F.lit(1)).alias(f"__{top_or_dup}_dg"),
+            F.max("__c").alias(f"__{top_or_dup}_top"),
+        )
+        grams = gagg if grams is None else grams.join(gagg, id_col, "full")
+    out = (
+        ntok.join(lagg, id_col, "left").join(grams, id_col, "left")
+    )
+    zero = F.lit(0.0)
+    return out.select(
+        ic,
+        F.when(
+            F.col("__nl") > 0,
+            (F.col("__nl") - F.col("__dl")) / F.col("__nl").cast("double"),
+        )
+        .otherwise(zero)
+        .alias("dup_line_frac"),
+        F.when(
+            F.col("__tc") > 0, F.col("__dc") / F.col("__tc").cast("double")
+        )
+        .otherwise(zero)
+        .alias("dup_line_char_frac"),
+        F.when(
+            (F.col("__ntok") > 0) & (F.coalesce("__top_top", F.lit(0)) > 0),
+            F.least(
+                F.lit(1.0),
+                F.col("__top_top") * top_n / F.col("__ntok").cast("double"),
+            ),
+        )
+        .otherwise(zero)
+        .alias("top_ngram_frac"),
+        F.when(
+            F.coalesce("__dup_ng", F.lit(0)) > 0,
+            (F.col("__dup_ng") - F.col("__dup_dg"))
+            / F.col("__dup_ng").cast("double"),
+        )
+        .otherwise(zero)
+        .alias("dup_ngram_frac"),
+    )
 
 
 # --- DuckDB twins, same shapes ---------------------------------------------

@@ -88,3 +88,59 @@ def test_token_delim_variant(spark):
     df = spark.createDataFrame([("spam spam eggs",)], "text string")
     r = df.select(dup_line_frac("text", " ").alias("v")).collect()[0]
     assert r["v"] == pytest.approx(1 / 3)
+
+
+def test_frame_modes_agree_exactly(spark):
+    """mode='explode' (giant-doc fallback: explode + groupBy + n-way
+    position join) computes the SAME integer intermediates as the
+    in-row sorted-run shape, so the double results are exactly equal."""
+    from osmquadtreepostgis_spark.functions.repetition import (
+        repetition_signals_frame,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    # extra hand-built edge cases: heavy repeats, single token, empty
+    extra = spark.createDataFrame(
+        [
+            (100001, "a a a a a"),
+            (100002, "x"),
+            (100003, ""),
+            (100004, "p q p q p q r"),
+        ],
+        "doc_id bigint, text string",
+    )
+    d = docs.union(extra)
+    kw = dict(line_delim=" ", top_n=2, dup_n=2)
+    a = {
+        r["doc_id"]: (
+            r["dup_line_frac"],
+            r["dup_line_char_frac"],
+            r["top_ngram_frac"],
+            r["dup_ngram_frac"],
+        )
+        for r in repetition_signals_frame(d, mode="inrow", **kw).collect()
+    }
+    b = {
+        r["doc_id"]: (
+            r["dup_line_frac"],
+            r["dup_line_char_frac"],
+            r["top_ngram_frac"],
+            r["dup_ngram_frac"],
+        )
+        for r in repetition_signals_frame(d, mode="explode", **kw).collect()
+    }
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k], (k, a[k], b[k])  # exact, not approx
+
+
+def test_frame_unknown_mode_raises(spark):
+    from osmquadtreepostgis_spark.functions.repetition import (
+        repetition_signals_frame,
+    )
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="mode"):
+        repetition_signals_frame(docs, mode="nope")
