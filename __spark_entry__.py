@@ -456,6 +456,20 @@ def q_stream_dedup_exact(spark, sf):
     )
 
 
+def q_stream_curate(spark, sf):
+    """Streaming curation composition (streaming/stream.py
+    stream_curate): C4 quality + Gopher repetition rules fused
+    STATELESS into the documents file stream, exact dedup (120-bit
+    fingerprint, order-independent min-id state) over the survivors —
+    the continuous-ingest twin of curate_corpus's rule + exact-dedup
+    stages."""
+    from osmquadtreepostgis_spark.streaming.stream import stream_curate
+
+    return run_stream_to_completion(
+        stream_curate(spark, sf), name="q_stream_curate"
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf):
     return DD.ngram_jaccard_pairs(_docs(spark, sf), threshold=0.5, n=3)
 
@@ -741,6 +755,25 @@ def q_dedup_incremental(spark, sf):
         docs.filter(F.col("doc_id") < 250),
         threshold=0.5,
         n=3,
+    )
+
+
+def q_dedup_incremental_minhash(spark, sf):
+    """Incremental dedup via the band-shuffle candidate join + exact
+    verification (dedup_against mode='minhash_verified'): the corpus
+    side's signatures are batch-independent at scale. 32 hashes / 16
+    bands (r=2): the fixture's weakest true pair has J=0.8889, so the
+    per-pair LSH miss probability is (1-J^2)^16 ~ 1.4e-11 — the
+    output equals the exact mode and shares its oracle."""
+    docs = _docs(spark, sf)
+    return DD.dedup_against(
+        docs.filter(F.col("doc_id") >= 250),
+        docs.filter(F.col("doc_id") < 250),
+        threshold=0.5,
+        n=3,
+        mode="minhash_verified",
+        n_hashes=32,
+        bands=16,
     )
 
 
@@ -1140,9 +1173,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stateful_sessionize": _shipped(q_stream_stateful_sessionize),
         "dedup_exact": _shipped(q_dedup_exact),
         "stream_dedup_exact": _shipped(q_stream_dedup_exact),
+        "stream_curate": _shipped(q_stream_curate),
         "dedup_ngram_jaccard": _shipped(q_dedup_ngram_jaccard),
         "dedup_clusters": _shipped(q_dedup_clusters),
         "dedup_incremental": _shipped(q_dedup_incremental),
+        "dedup_incremental_minhash": _shipped(q_dedup_incremental_minhash),
         "html_extract": _shipped(q_html_extract),
         "repetition_signals": _shipped(q_repetition_signals),
         "url_normalize": _shipped(q_url_normalize),
@@ -1376,6 +1411,50 @@ def _url_normalize_oracle() -> str:
                {sql_url_host(url)} AS host,
                {sql_registered_domain(url)} AS domain
         FROM documents"""
+
+
+def _incremental_oracle() -> str:
+    return f"""
+            WITH sh AS (SELECT doc_id AS id, {sql_word_shingles('text', 3)} AS s
+                        FROM documents),
+            sized AS (SELECT id, s, len(s) AS sz FROM sh),
+            ex AS (SELECT id, sz, unnest(s) AS tok FROM sized),
+            inter AS (
+              SELECT a.id AS id_new, b.id AS id_seen, a.sz AS sa, b.sz AS sb,
+                     count(*) AS i
+              FROM ex a JOIN ex b ON a.tok = b.tok
+                   AND a.id >= 250 AND b.id < 250
+              GROUP BY 1, 2, 3, 4),
+            hits AS (SELECT id_new, cast(count(*) as bigint) AS n
+                     FROM inter
+                     WHERE cast(i as double) / (sa + sb - i) >= 0.5
+                     GROUP BY id_new)
+            SELECT d.doc_id, coalesce(h.n, 0) AS n_seen_dups,
+                   (coalesce(h.n, 0) = 0) AS keep
+            FROM documents d LEFT JOIN hits h ON h.id_new = d.doc_id
+            WHERE d.doc_id >= 250"""
+
+
+def _stream_curate_oracle() -> str:
+    from osmquadtreepostgis_spark.functions.repetition import (
+        sql_dup_ngram_frac,
+        sql_top_ngram_frac,
+    )
+
+    nw = "len(string_split(text, ' '))"
+    tc = "length(replace(text, ' ', ''))"
+    sym = "length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))"
+    return f"""
+        WITH q AS (
+          SELECT doc_id, text FROM documents
+          WHERE {nw} >= 20
+            AND {tc} / greatest({nw}, 1) <= 12.0
+            AND {tc} / greatest({nw}, 1) >= 2.0
+            AND {sym} / greatest({tc}, 1) <= 0.3
+            AND {sql_top_ngram_frac('text', 2)} <= 0.13
+            AND {sql_dup_ngram_frac('text', 2)} <= 0.065)
+        SELECT min(doc_id) AS doc_id, count(*) - 1 AS n_dupes
+        FROM q GROUP BY text"""
 
 
 def _domain_stats_oracle() -> str:
@@ -1682,6 +1761,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_exact": f"""
             SELECT min(doc_id) AS doc_id, count(*) - 1 AS n_dupes
             FROM documents GROUP BY {TX.sql_fingerprint('text')}""",
+        "stream_curate": _stream_curate_oracle(),
         # positional 5-grams -> global occurrence count -> keep >1 ->
         # interval-union span merge: new span iff pos > lag(pos)+5,
         # i.e. past the previous covered end (lag+4) PLUS one — a gram
@@ -1786,25 +1866,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id, a.cluster_id, sz2.n AS cluster_size,
                    (a.doc_id = a.cluster_id) AS keep
             FROM alldocs a JOIN sz2 USING (cluster_id)""",
-        "dedup_incremental": f"""
-            WITH sh AS (SELECT doc_id AS id, {sql_word_shingles('text', 3)} AS s
-                        FROM documents),
-            sized AS (SELECT id, s, len(s) AS sz FROM sh),
-            ex AS (SELECT id, sz, unnest(s) AS tok FROM sized),
-            inter AS (
-              SELECT a.id AS id_new, b.id AS id_seen, a.sz AS sa, b.sz AS sb,
-                     count(*) AS i
-              FROM ex a JOIN ex b ON a.tok = b.tok
-                   AND a.id >= 250 AND b.id < 250
-              GROUP BY 1, 2, 3, 4),
-            hits AS (SELECT id_new, cast(count(*) as bigint) AS n
-                     FROM inter
-                     WHERE cast(i as double) / (sa + sb - i) >= 0.5
-                     GROUP BY id_new)
-            SELECT d.doc_id, coalesce(h.n, 0) AS n_seen_dups,
-                   (coalesce(h.n, 0) = 0) AS keep
-            FROM documents d LEFT JOIN hits h ON h.id_new = d.doc_id
-            WHERE d.doc_id >= 250""",
+        "dedup_incremental": _incremental_oracle(),
+        # minhash_verified mode: exact precision; at 32 hashes/16
+        # bands the fixture's weakest true pair (J=0.8889) is missed
+        # with probability ~1.4e-11, so the exact oracle is its twin
+        "dedup_incremental_minhash": _incremental_oracle(),
         "dedup_minhash_lsh": f"""
             WITH sig AS ({_sig_sql()}),
             cand AS (

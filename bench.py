@@ -134,6 +134,7 @@ def main() -> None:
         "dedup_ngram_jaccard",
         "dedup_clusters",
         "dedup_incremental",
+        "dedup_incremental_minhash",
         "curate_corpus",
         "curate_corpus_minhash",
         "corpus_stats",
@@ -167,6 +168,7 @@ def main() -> None:
         "rollup_pricing",
         "salted_tile_agg",
         "stream_dedup_exact",
+        "stream_curate",
         "stream_events_window",
         "stream_stateful_sessionize",
     ]:

@@ -35,6 +35,7 @@ __all__ = [
     "dedup_against",
     "minhash_lsh_pairs",
     "minhash_verified_pairs",
+    "minhash_verified_join",
     "simhash_pairs",
     "duplicate_spans",
 ]
@@ -237,6 +238,74 @@ def set_jaccard_join(
     )
 
 
+def minhash_verified_join(
+    probe: DataFrame,
+    index: DataFrame,
+    threshold: float,
+    n: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BIPARTITE MinHash-banded candidate join + exact Jaccard
+    verification: pairs (id_p, id_x, jaccard) with J >= threshold,
+    restricted to pairs sharing at least one LSH band. The
+    incremental twin of :func:`minhash_verified_pairs` — at 100 TB the
+    index side's signatures are computed once (persist/compact them
+    with the corpus) and each new batch pays only its own signatures
+    plus the band-bucket equi-join; no index-vs-index work, no full
+    inverted index. First-shared-band dedup keeps each (probe, index)
+    pair once without a dropDuplicates shuffle."""
+    rows_per_band = n_hashes // bands
+    sigp = _minhash_sig_frame(probe, n_hashes, n, id_col, text_col)
+    sigx = _minhash_sig_frame(index, n_hashes, n, id_col, text_col)
+    bs = _band_structs(n_hashes, bands)
+    bp = sigp.select("id", "__sig", F.explode(bs).alias("b")).select(
+        F.col("id").alias("id_p"),
+        F.col("__sig").alias("__sigp"),
+        F.col("b.band").alias("band"),
+        F.col("b.bucket").alias("bucket"),
+    )
+    bx = sigx.select("id", "__sig", F.explode(bs).alias("b")).select(
+        F.col("id").alias("id_x"),
+        F.col("__sig").alias("__sigx"),
+        F.col("b.band").alias("band"),
+        F.col("b.bucket").alias("bucket"),
+    )
+    j = bp.join(bx, ["band", "bucket"])
+    first_shared = None
+    for bi in range(bands):
+        eq = F.lit(True)
+        for ri in range(rows_per_band):
+            k = bi * rows_per_band + ri + 1
+            eq = eq & (F.element_at("__sigp", k) == F.element_at("__sigx", k))
+        first_shared = (
+            F.when(eq, bi) if first_shared is None else first_shared.when(eq, bi)
+        )
+    cand = j.filter(F.col("band") == first_shared).select("id_p", "id_x")
+
+    def _sh(d: DataFrame, out_id: str, out_sh: str) -> DataFrame:
+        toks = d.select(
+            F.col(id_col).alias(out_id),
+            F.split(F.col(text_col), " ").alias("__toks"),
+        )
+        return toks.select(
+            out_id, word_shingles_tokens(F.col("__toks"), n).alias(out_sh)
+        )
+
+    ver = cand.join(_sh(probe, "id_p", "__fp_sh"), "id_p").join(
+        _sh(index, "id_x", "__fx_sh"), "id_x"
+    )
+    inter = F.size(F.array_intersect("__fp_sh", "__fx_sh"))
+    jac = inter / (F.size("__fp_sh") + F.size("__fx_sh") - inter)
+    return (
+        ver.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_p", "id_x", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 def dedup_against(
     new: DataFrame,
     seen: DataFrame,
@@ -244,6 +313,9 @@ def dedup_against(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "exact",
+    n_hashes: int = 16,
+    bands: int = 4,
 ) -> DataFrame:
     """Incremental corpus dedup: for each NEW document, is it an
     n-gram-Jaccard near-duplicate of ANY document already in the SEEN
@@ -254,7 +326,21 @@ def dedup_against(
     separate self-dedup pass, :func:`ngram_jaccard_pairs` +
     :mod:`.cluster`); the incremental contract is "what does this
     batch add on top of the corpus".  Ids need not be distinct across
-    the two frames — sides never mix."""
+    the two frames — sides never mix.
+
+    ``mode``: ``"exact"`` (default) runs the prefix-filtered bipartite
+    inverted-index join; ``"minhash_verified"`` runs the band-shuffle
+    candidate join + exact verification
+    (:func:`minhash_verified_join`) — exact precision, probabilistic
+    recall, and the index side's signatures are batch-independent
+    (persist them with the corpus at scale)."""
+    if mode == "minhash_verified":
+        hits = minhash_verified_join(
+            new, seen, threshold, n=n, n_hashes=n_hashes, bands=bands,
+            id_col=id_col, text_col=text_col,
+        )
+    elif mode != "exact":
+        raise ValueError(f"unknown mode {mode!r}")
 
     def _sh(d: DataFrame) -> DataFrame:
         toks = d.select(
@@ -265,7 +351,8 @@ def dedup_against(
             "id", word_shingles_tokens(F.col("__toks"), n).alias("__sh")
         )
 
-    hits = set_jaccard_join(_sh(new), _sh(seen), threshold)
+    if mode == "exact":
+        hits = set_jaccard_join(_sh(new), _sh(seen), threshold)
     per_new = hits.groupBy(F.col("id_p").alias(id_col)).agg(
         F.count(F.lit(1)).alias("n_seen_dups")
     )
@@ -359,28 +446,15 @@ def duplicate_spans(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    n_hashes: int = 16,
-    bands: int = 4,
-    n: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def _minhash_sig_frame(
+    df: DataFrame, n_hashes: int, n: int, id_col: str, text_col: str
 ) -> DataFrame:
-    """MinHash + LSH banding: signature split into ``bands`` bands of
-    ``n_hashes/bands`` rows; docs sharing any full band are candidate
-    pairs. Output: (id_a, id_b, est_jaccard) where est_jaccard is the
-    signature agreement fraction (rounded 4dp).
-
-    Scale shape: shuffle on (band_idx, band_hash-bucket); candidate
-    generation never compares all pairs.
-    """
-    rows_per_band = n_hashes // bands
-    # signatures via explode + ONE hash-aggregate pass (16 codegen'd
-    # conditional mins). The Column-API minhash_signature is
-    # semantically identical but evaluates 16 interpreted array
-    # transforms (md5 per shingle re-hashed per permutation) — ~20x
-    # slower; keep it off the hot path (same lesson as SimHash).
+    """(id, __sig: array<long>) MinHash signatures via explode + ONE
+    hash-aggregate pass (n_hashes codegen'd conditional mins). The
+    Column-API minhash_signature is semantically identical but
+    evaluates n_hashes interpreted array transforms (md5 per shingle
+    re-hashed per permutation) — ~20x slower; keep it off the hot
+    path (same lesson as SimHash)."""
     toks = df.select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks")
     )
@@ -404,14 +478,18 @@ def minhash_lsh_pairs(
         )
         for i, (a, b) in enumerate(minhash_params(n_hashes))
     ]
-    sig = (
+    return (
         hashed.groupBy("id")
         .agg(*mins)
         .select(
             "id", F.array(*[F.col(f"__mh{i}") for i in range(n_hashes)]).alias("__sig")
         )
     )
-    band_structs = F.array(
+
+
+def _band_structs(n_hashes: int, bands: int):
+    rows_per_band = n_hashes // bands
+    return F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band"),
@@ -428,6 +506,27 @@ def minhash_lsh_pairs(
             for bi in range(bands)
         ]
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + LSH banding: signature split into ``bands`` bands of
+    ``n_hashes/bands`` rows; docs sharing any full band are candidate
+    pairs. Output: (id_a, id_b, est_jaccard) where est_jaccard is the
+    signature agreement fraction (rounded 4dp).
+
+    Scale shape: shuffle on (band_idx, band_hash-bucket); candidate
+    generation never compares all pairs.
+    """
+    rows_per_band = n_hashes // bands
+    sig = _minhash_sig_frame(df, n_hashes, n, id_col, text_col)
+    band_structs = _band_structs(n_hashes, bands)
     banded = sig.select("id", "__sig", F.explode(band_structs).alias("b")).select(
         "id", "__sig", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
     )

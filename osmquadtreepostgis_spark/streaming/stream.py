@@ -226,6 +226,69 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming curation: the continuous-ingest twin of
+    :func:`..plans.curation.curate_corpus`'s stateless-rule + exact-
+    dedup stages. C4 quality rules and Gopher repetition signals are
+    pure-Column, so they fuse STATELESS into the file stream (no state,
+    no watermark — each micro-batch filters as it arrives); the only
+    stateful operator is the exact-dedup aggregate over rule-passing
+    docs, keyed on the 120-bit :func:`..functions.text.fingerprint128`
+    with order-independent (min doc_id, count-1) state — the bounded
+    answer equals the batch composition under ANY micro-batch schedule.
+
+    Pair-based near-dup (Jaccard / MinHash) stays batch-only by
+    design: candidate pairs need a corpus-wide index, which is what
+    the incremental :func:`..operators.dedup.dedup_against` runs
+    against a periodically-compacted seen-corpus snapshot.
+
+    Thresholds mirror curate_corpus's frozen fixture values
+    (min_words=20, top2<=0.13, dup2<=0.065). Output: one row per
+    surviving canonical doc, ``(doc_id, n_dupes)``."""
+    from ..functions.repetition import dup_ngram_frac, top_ngram_frac
+    from ..functions.text import fingerprint128
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stage = (
+        Path(tempfile.gettempdir())
+        / f"oqps_stream_{abs(hash(sf_dir))}_documents"
+    )
+    stage.mkdir(exist_ok=True)
+    link = stage / "documents.parquet"
+    if not link.exists():
+        link.symlink_to(f"{sf_dir}/documents.parquet")
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks).cast("long")
+    total_chars = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    mean_wl = total_chars / F.greatest(n_words, F.lit(1))
+    symbols = F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9 ]", ""))
+    keep_quality = (
+        (n_words >= 20)
+        & (mean_wl <= 12.0)
+        & (mean_wl >= 2.0)
+        & (symbols / F.greatest(total_chars, F.lit(1)) <= 0.3)
+    )
+    keep_repetition = (top_ngram_frac("text", 2) <= 0.13) & (
+        dup_ngram_frac("text", 2) <= 0.065
+    )
+    fp_lo, fp_hi = fingerprint128("text")
+    return (
+        src.filter(keep_quality & keep_repetition)
+        .select(fp_lo.alias("fp_lo"), fp_hi.alias("fp_hi"), "doc_id")
+        .groupBy("fp_lo", "fp_hi")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            (F.count(F.lit(1)) - 1).alias("n_dupes"),
+        )
+        .select("doc_id", "n_dupes")
+    )
+
+
 def run_stream_to_completion(
     streaming_df: DataFrame, name: str = "stream_out", output_mode: str | None = None
 ) -> DataFrame:

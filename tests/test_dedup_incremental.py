@@ -84,3 +84,31 @@ def test_dedup_against_vs_self_join_cross_pairs(spark):
     for d, n in cross.items():
         assert out[d][0] == n
     assert any(not k for _, k in out.values())  # non-vacuous fixture
+
+
+def test_minhash_verified_mode_matches_exact(spark):
+    """dedup_against(mode='minhash_verified', 32 hashes/16 bands)
+    equals the exact bipartite join on the fixture (weakest true pair
+    J=0.8889 -> LSH miss probability ~1.4e-11), and unknown modes
+    raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from osmquadtreepostgis_spark.operators.dedup import dedup_against
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.filter(F.col("doc_id") >= 250)
+    seen = docs.filter(F.col("doc_id") < 250)
+    a = sorted(map(tuple, dedup_against(new, seen, 0.5, 3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            dedup_against(
+                new, seen, 0.5, 3,
+                mode="minhash_verified", n_hashes=32, bands=16,
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 250
+    with pytest.raises(ValueError, match="mode"):
+        dedup_against(new, seen, 0.5, 3, mode="nope")

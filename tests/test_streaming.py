@@ -124,3 +124,53 @@ def test_stream_pages_flagship_equals_batch_and_resumes(spark, tmp_path):
         os.remove(crc)
     got4 = stream_pages_flagship(spark, src_dir, out)
     assert sorted(map(tuple, got4.collect())) == g
+
+
+def test_stream_curate_equals_batch_composition(spark):
+    """stream_curate (stateless rules + stateful exact dedup) over
+    bounded input equals the same composition run as one batch query —
+    order-independent state makes the answer schedule-invariant."""
+    from pyspark.sql import functions as F
+
+    from osmquadtreepostgis_spark.functions.repetition import (
+        dup_ngram_frac,
+        top_ngram_frac,
+    )
+    from osmquadtreepostgis_spark.functions.text import fingerprint128
+    from osmquadtreepostgis_spark.streaming.stream import (
+        run_stream_to_completion,
+        stream_curate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: r["n_dupes"]
+        for r in run_stream_to_completion(
+            stream_curate(spark, sf), name="t_stream_curate"
+        ).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = F.split(F.col("text"), " ")
+    nw = F.size(toks).cast("long")
+    tc = F.length(F.regexp_replace("text", " ", ""))
+    sym = F.length(F.regexp_replace("text", r"[A-Za-z0-9 ]", ""))
+    keep = (
+        (nw >= 20)
+        & (tc / F.greatest(nw, F.lit(1)) <= 12.0)
+        & (tc / F.greatest(nw, F.lit(1)) >= 2.0)
+        & (sym / F.greatest(tc, F.lit(1)) <= 0.3)
+        & (top_ngram_frac("text", 2) <= 0.13)
+        & (dup_ngram_frac("text", 2) <= 0.065)
+    )
+    lo, hi = fingerprint128("text")
+    want = {
+        r["doc_id"]: r["n_dupes"]
+        for r in docs.filter(keep)
+        .groupBy(lo.alias("l"), hi.alias("h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            (F.count(F.lit(1)) - 1).alias("n_dupes"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
