@@ -885,6 +885,7 @@ def q_text_analysis(spark, sf):
         F.size(F.regexp_extract_all("text", F.lit("[a-z]{4,}"), F.lit(0)))
         .cast("long")
         .alias("n_tokens_re"),
+        TX.subword_token_count("text").alias("n_subword_tokens"),
         TX.lang_id("text").alias("lang_pred"),
         TX.quality_score("text").alias("quality"),
         TX.fingerprint("text").alias("fp"),
@@ -1950,6 +1951,7 @@ def oracle_sql() -> dict[str, str]:
                    {TX.sql_token_count('text')} AS n_tokens,
                    cast(len(regexp_extract_all(text, '[a-z]{{4,}}')) as bigint)
                      AS n_tokens_re,
+                   {TX.sql_subword_token_count('text')} AS n_subword_tokens,
                    {TX.sql_lang_id('text')} AS lang_pred,
                    {TX.sql_quality_score('text')} AS quality,
                    {TX.sql_fingerprint('text')} AS fp

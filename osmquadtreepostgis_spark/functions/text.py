@@ -49,6 +49,24 @@ def token_count(text) -> Column:
     return F.when(F.length(c) == 0, F.lit(0)).otherwise(F.size(_tok(c))).cast("long")
 
 
+# GPT-2-style pre-tokenizer, RE2-safe: the canonical pattern's
+# trailing-whitespace negative lookahead is dropped (lookaheads are
+# not portable), and \p classes are narrowed to ASCII for the fixture
+# corpus — contractions, letter runs, digit runs, punctuation runs,
+# whitespace runs, in that order (leftmost-first alternation in both
+# Java regex and RE2).
+_SUBWORD_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def subword_token_count(text) -> Column:
+    """BPE-ish token count: matches of the GPT-2-style pre-tokenizer
+    regex — the standard cheap proxy for 'how many tokens will the
+    tokenizer emit' used to budget training-data token counts before
+    a real tokenizer exists. Pure JVM ``regexp_count``."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(_SUBWORD_RE)).cast("long")
+
+
 def _stop_hits(toks: Column, words: list[str]) -> Column:
     arr = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
@@ -134,6 +152,11 @@ def sql_token_count(text: str) -> str:
         f"cast(case when length({text}) = 0 then 0 "
         f"else len(string_split({text}, ' ')) end as bigint)"
     )
+
+
+def sql_subword_token_count(text: str) -> str:
+    pat = _SUBWORD_RE.replace("'", "''")
+    return f"cast(len(regexp_extract_all({text}, '{pat}')) as bigint)"
 
 
 def _sql_stop_hits(text: str, words: list[str]) -> str:

@@ -105,3 +105,25 @@ def test_pack_sequences_multibatch_partition_order(spark):
         assert out.pack_id[a] == out.pack_id[a + 1]
         assert out.pack_offset[a] == 0 and out.pack_offset[a + 1] == 40
     assert out.pack_id.nunique() == 6
+
+
+def test_subword_token_count_matches_python_re(spark):
+    """BPE-ish pre-tokenizer count: Spark regexp_count == Python re
+    on hand-built edge cases (contractions, digit runs, punctuation
+    runs, leading/multiple spaces, empty)."""
+    import re
+
+    from osmquadtreepostgis_spark.functions.text import (
+        _SUBWORD_RE,
+        subword_token_count,
+    )
+
+    cases = [
+        "hello world", "it's a test", "abc123 def!!", "  spaced  out ",
+        "", "don't stop-me now 42x", "a'b'sc", "tab\there",
+        "x" * 50, "1,234.56 dollars & 7%",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "i int, t string")
+    got = {r["i"]: r["n"] for r in df.select("i", subword_token_count("t").alias("n")).collect()}
+    for i, t in enumerate(cases):
+        assert got[i] == len(re.findall(_SUBWORD_RE, t)), (i, t)
