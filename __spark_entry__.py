@@ -689,6 +689,58 @@ def q_domain_stats(spark, sf):
     )
 
 
+def q_domain_cap(spark, sf):
+    """Per-registered-domain rate cap (operators/corpus.py
+    cap_per_key): keep the top-5 docs per domain by (quality desc,
+    doc_id asc) via the exact two-phase salted top-n — NOT a
+    key-partitioned window, which a hot domain would make
+    unsplittable at web scale. Domains come through the table-driven
+    PSL path; the oracle is a row_number window (fine at oracle
+    scale)."""
+    from osmquadtreepostgis_spark.functions.urls import (
+        psl_frame,
+        with_registered_domain,
+    )
+    from osmquadtreepostgis_spark.operators.corpus import cap_per_key
+
+    d = _docs(spark, sf)
+    k = (F.col("doc_id") % 23).cast("string")
+    i = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("https://www.site"), k, F.lit(".co.uk/p/"), i),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("https://host"), k, F.lit(".example.com/q/"), i),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit("https://app"), k, F.lit(".github.io/r/"), i),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("https://bar"), k, F.lit(".www.ck/s/"), i),
+        )
+        .otherwise(
+            F.concat(F.lit("https://a"), k, F.lit(".b"), k, F.lit(".ck/t/"), i)
+        )
+    )
+    pages = d.select(
+        "doc_id", url.alias("url"), TX.quality_score("text").alias("q")
+    )
+    dom = with_registered_domain(pages, "url", psl=psl_frame(spark)).select(
+        "doc_id", "q", F.col("registered_domain").alias("domain")
+    )
+    return cap_per_key(
+        dom,
+        "domain",
+        [(-F.col("q")).alias("nq"), F.col("doc_id").alias("i")],
+        n=5,
+    ).select("doc_id", "domain", "q", F.col("rank").cast("long").alias("rank"))
+
+
 def q_repetition_signals(spark, sf):
     """Gopher-style repetition quality signals per document (line
     delimiter ' ' so token repeats exercise the duplicate-line path
@@ -889,6 +941,51 @@ def q_text_analysis(spark, sf):
         TX.lang_id("text").alias("lang_pred"),
         TX.quality_score("text").alias("quality"),
         TX.fingerprint("text").alias("fp"),
+    )
+
+
+def q_pii_scrub(spark, sf):
+    """PII scrubbing (functions/pii.py): deterministic PII-laced text
+    (emails / phones / IPv4s appended by doc_id class) -> typed
+    placeholder replacement + per-class audit counts. Pure-Column
+    regexp chain, twins generated from the same pattern constants."""
+    from osmquadtreepostgis_spark.functions.pii import pii_counts, scrub_pii
+
+    d = _docs(spark, sf)
+    k = (F.col("doc_id") % 17).cast("string")
+    o1 = ((F.col("doc_id") % 200) + 10).cast("string")
+    o2 = ((F.col("doc_id") % 251) + 1).cast("string")
+    laced = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.col("text"), F.lit(" email bob"), k, F.lit("@mail"),
+                k, F.lit(".org now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.col("text"), F.lit(" call +44 20 79"), o1,
+                F.lit("-09"), o1, F.lit(" today"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.col("text"), F.lit(" server 192.168."), o1,
+                F.lit("."), o2, F.lit(" up"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    ne, ni, np_ = pii_counts(laced)
+    return d.select(
+        "doc_id",
+        scrub_pii(laced).alias("clean_text"),
+        ne.alias("n_emails"),
+        ni.alias("n_ips"),
+        np_.alias("n_phones"),
     )
 
 
@@ -1183,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": _shipped(q_repetition_signals),
         "url_normalize": _shipped(q_url_normalize),
         "domain_stats": _shipped(q_domain_stats),
+        "domain_cap": _shipped(q_domain_cap),
         "curate_corpus": _shipped(q_curate_corpus),
         "curate_corpus_minhash": _shipped(q_curate_corpus_minhash),
         "corpus_stats": _shipped(q_corpus_stats),
@@ -1200,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analysis": _shipped(q_text_analysis),
         "quality_filter": _shipped(q_quality_filter),
         "sample_stratified": _shipped(q_sample_stratified),
+        "pii_scrub": _shipped(q_pii_scrub),
         "multimodal_meta": _shipped(q_multimodal_meta),
         "multimodal_frames": _shipped(q_multimodal_frames),
         "overlay_pairs": _shipped(q_overlay_pairs),
@@ -1436,6 +1535,34 @@ def _incremental_oracle() -> str:
             WHERE d.doc_id >= 250"""
 
 
+def _pii_oracle() -> str:
+    from osmquadtreepostgis_spark.functions.pii import (
+        sql_pii_counts,
+        sql_scrub_pii,
+    )
+
+    laced = (
+        "(CASE WHEN doc_id % 4 = 0 THEN "
+        "text || ' email bob' || cast(doc_id % 17 as varchar) || '@mail' || "
+        "cast(doc_id % 17 as varchar) || '.org now' "
+        "WHEN doc_id % 4 = 1 THEN "
+        "text || ' call +44 20 79' || cast(doc_id % 200 + 10 as varchar) || "
+        "'-09' || cast(doc_id % 200 + 10 as varchar) || ' today' "
+        "WHEN doc_id % 4 = 2 THEN "
+        "text || ' server 192.168.' || cast(doc_id % 200 + 10 as varchar) || "
+        "'.' || cast(doc_id % 251 + 1 as varchar) || ' up' "
+        "ELSE text END)"
+    )
+    ne, ni, np_ = sql_pii_counts(laced)
+    return f"""
+        SELECT doc_id,
+               {sql_scrub_pii(laced)} AS clean_text,
+               {ne} AS n_emails,
+               {ni} AS n_ips,
+               {np_} AS n_phones
+        FROM documents"""
+
+
 def _stream_curate_oracle() -> str:
     from osmquadtreepostgis_spark.functions.repetition import (
         sql_dup_ngram_frac,
@@ -1490,6 +1617,46 @@ def _domain_stats_oracle() -> str:
                count(DISTINCT p.host) AS n_hosts
         FROM ph p JOIN map m ON m.host = p.host
         GROUP BY 1"""
+
+
+def _domain_cap_oracle() -> str:
+    from osmquadtreepostgis_spark.functions.text import sql_quality_score
+    from osmquadtreepostgis_spark.functions.urls import (
+        sql_registered_domain_psl,
+        sql_url_host,
+    )
+
+    url = (
+        "(CASE WHEN doc_id % 5 = 0 THEN "
+        "'https://www.site' || cast(doc_id % 23 as varchar) || "
+        "'.co.uk/p/' || cast(doc_id as varchar) "
+        "WHEN doc_id % 5 = 1 THEN "
+        "'https://host' || cast(doc_id % 23 as varchar) || "
+        "'.example.com/q/' || cast(doc_id as varchar) "
+        "WHEN doc_id % 5 = 2 THEN "
+        "'https://app' || cast(doc_id % 23 as varchar) || "
+        "'.github.io/r/' || cast(doc_id as varchar) "
+        "WHEN doc_id % 5 = 3 THEN "
+        "'https://bar' || cast(doc_id % 23 as varchar) || "
+        "'.www.ck/s/' || cast(doc_id as varchar) "
+        "ELSE 'https://a' || cast(doc_id % 23 as varchar) || "
+        "'.b' || cast(doc_id % 23 as varchar) || "
+        "'.ck/t/' || cast(doc_id as varchar) END)"
+    )
+    psl = sql_registered_domain_psl("SELECT DISTINCT host FROM pages")
+    return f"""
+        WITH pages AS (SELECT doc_id, {sql_url_host(url)} AS host,
+                              {sql_quality_score('text')} AS q
+                       FROM documents),
+        map AS ({psl}),
+        ranked AS (
+          SELECT p.doc_id, m.etld1 AS domain, p.q,
+                 row_number() OVER (PARTITION BY m.etld1
+                                    ORDER BY p.q DESC, p.doc_id ASC)
+                   AS rank
+          FROM pages p JOIN map m ON m.host = p.host)
+        SELECT doc_id, domain, q, cast(rank as bigint) AS rank
+        FROM ranked WHERE rank <= 5"""
 
 
 def _repetition_oracle() -> str:
@@ -1810,6 +1977,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": _repetition_oracle(),
         "url_normalize": _url_normalize_oracle(),
         "domain_stats": _domain_stats_oracle(),
+        "domain_cap": _domain_cap_oracle(),
         "curate_corpus": _curate_oracle(),
         # the minhash-verified mode is exact-precision; on this fixture
         # LSH recalls every >=0.5 pair (verified at sf0.001/0.01), so
@@ -1985,6 +2153,7 @@ def oracle_sql() -> dict[str, str]:
                   % 1000000
                   < (CASE lang WHEN 'de' THEN 0.25 WHEN 'en' THEN 0.5
                      WHEN 'fr' THEN 1.0 ELSE 0.0 END) * 1000000""",
+        "pii_scrub": _pii_oracle(),
         "multimodal_meta": """
             SELECT doc_id,
                    cast(octet_length(encode(text)) as bigint) AS n_bytes,

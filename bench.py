@@ -153,8 +153,10 @@ def main() -> None:
         "repetition_signals",
         "url_normalize",
         "domain_stats",
+        "domain_cap",
         "text_analysis",
         "quality_filter",
+        "pii_scrub",
         "sample_stratified",
         "multimodal_meta",
         "multimodal_frames",

@@ -92,6 +92,14 @@ def connected_components(
     that fits in 2^25-deep forests (i.e. any realistic corpus — the
     bound is O(log n) rounds).  Raises if the loop exits unconverged
     so a silent wrong answer is impossible.
+
+    Fixed-cost note: each round costs two driver actions (checkpoint
+    materialize + fingerprint). The convergence fingerprint runs only
+    every SECOND round — large-star/small-star is monotone (labels
+    only decrease), so skipping a check never accepts a wrong answer,
+    it just risks one extra (idempotent) round after convergence.
+    Checkpoints still happen every round: lineage must not compound
+    across rounds or Catalyst re-analyzes a growing tree.
     """
     e = _canon(edges, id_a, id_b)
     if use_local_checkpoint:
@@ -104,7 +112,7 @@ def connected_components(
     e0 = e
     fp = _fingerprint(e)
 
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         # ---- large-star: for every node u, attach each LARGER
         # neighbor v to m(u) = min(N(u) ∪ {u}).  Directed both ways so
         # each endpoint sees its full neighborhood.
@@ -137,11 +145,14 @@ def connected_components(
             nxt = nxt.localCheckpoint(eager=True)
         else:
             nxt = nxt.checkpoint(eager=True)
-        nfp = _fingerprint(nxt)
         e = nxt
-        if nfp == fp:
-            break
-        fp = nfp
+        # fingerprint every 2nd round (and the last allowed round, so
+        # the unconverged-raise stays sound) — see fixed-cost note
+        if rnd % 2 == 1 or rnd == max_iter - 1:
+            nfp = _fingerprint(nxt)
+            if nfp == fp:
+                break
+            fp = nfp
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"

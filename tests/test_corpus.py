@@ -127,3 +127,31 @@ def test_subword_token_count_matches_python_re(spark):
     got = {r["i"]: r["n"] for r in df.select("i", subword_token_count("t").alias("n")).collect()}
     for i, t in enumerate(cases):
         assert got[i] == len(re.findall(_SUBWORD_RE, t)), (i, t)
+
+
+def test_cap_per_key_equals_window_rank(spark):
+    """Two-phase salted top-n == Window row_number on a frame with a
+    hot key (the shape the operator exists to avoid at scale)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from osmquadtreepostgis_spark.operators.corpus import cap_per_key
+
+    rows = [(i, "hot" if i % 3 else f"k{i % 7}", float((i * 37) % 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string, q double")
+    got = {
+        (r["dom"], r["doc_id"]): r["rank"]
+        for r in cap_per_key(
+            df, "dom",
+            [(-F.col("q")).alias("nq"), F.col("doc_id").alias("i")],
+            n=5, salt_buckets=8,
+        ).collect()
+    }
+    w = Window.partitionBy("dom").orderBy(F.col("q").desc(), F.col("doc_id").asc())
+    want = {
+        (r["dom"], r["doc_id"]): r["rank"]
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    }
+    assert got == want and len(got) == 8 * 5  # hot + k0..k6, 5 each
