@@ -95,6 +95,28 @@ def stream_pages_flagship(
     )
 
 
+def read_rollup_as_of(
+    spark: SparkSession, out_dir: str, batch_id: int | None = None
+) -> DataFrame:
+    """Snapshot / time-travel read over the flagship stream's
+    ``batch_id``-partitioned partials — the parquet analog of reading
+    an Iceberg checkpoint table at a snapshot: the exact rollup as it
+    stood after micro-batch ``batch_id`` (None = current). The
+    ``batch_id <= N`` predicate is a PARTITION filter, so Catalyst
+    prunes later batches' files from the scan entirely (asserted in
+    tests/test_streaming.py); partials are additive counts, so the
+    as-of rollup is exact, not approximate. Restoring to a snapshot =
+    deleting partition dirs above N — the same O(1)-metadata rollback
+    an Iceberg snapshot gives."""
+    data_dir = f"{out_dir.rstrip('/')}/partials"
+    df = spark.read.parquet(data_dir)
+    if batch_id is not None:
+        df = df.filter(F.col("batch_id") <= batch_id)
+    return df.groupBy("tile", "poly_id").agg(
+        F.sum("n_mentions").cast("long").alias("n_mentions")
+    )
+
+
 def stream_events_windowed(
     spark: SparkSession, sf_dir: str, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

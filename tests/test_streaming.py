@@ -174,3 +174,60 @@ def test_stream_curate_equals_batch_composition(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_read_rollup_as_of_snapshots(spark, tmp_path):
+    """Time-travel over the batch_id-partitioned partials: as-of the
+    last batch == current rollup; as-of earlier batches is exactly the
+    rollup of those batches' partials; counts grow monotonically; the
+    batch_id predicate PRUNES later batches' files from the scan."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from osmquadtreepostgis_spark.sources.pages import pages
+    from osmquadtreepostgis_spark.streaming.stream import (
+        read_rollup_as_of,
+        stream_pages_flagship,
+    )
+
+    src_dir = str(tmp_path / "p_in")
+    pages(spark, 30_000, partitions=3).write.parquet(src_dir)
+    out = str(tmp_path / "p_out")
+    full = stream_pages_flagship(spark, src_dir, out)
+    n_batches = (
+        spark.read.parquet(out + "/partials").select("batch_id").distinct().count()
+    )
+    assert n_batches == 3
+    cur = sorted(map(tuple, full.collect()))
+    asof_last = sorted(map(tuple, read_rollup_as_of(spark, out, n_batches - 1).collect()))
+    assert asof_last == cur
+    # exactness vs the partials themselves + monotone growth
+    prev_total = 0
+    for b in range(n_batches):
+        want = sorted(
+            map(
+                tuple,
+                spark.read.parquet(out + "/partials")
+                .filter(F.col("batch_id") <= b)
+                .groupBy("tile", "poly_id")
+                .agg(F.sum("n_mentions").cast("long").alias("n_mentions"))
+                .collect(),
+            )
+        )
+        got_df = read_rollup_as_of(spark, out, b)
+        got = sorted(map(tuple, got_df.collect()))
+        assert got == want
+        total = sum(r[2] for r in got)
+        assert total >= prev_total
+        prev_total = total
+    # partition pruning: as-of batch 0 must read fewer files than all
+    def files_read(d):
+        qe = d._jdf.queryExecution()
+        p = qe.executedPlan()
+        p.execute().count()
+        return p.collectLeaves().head().metrics().apply("numFiles").value()
+
+    n0 = files_read(spark.read.parquet(out + "/partials").filter(F.col("batch_id") <= 0))
+    nall = files_read(spark.read.parquet(out + "/partials"))
+    assert n0 < nall, (n0, nall)
