@@ -146,9 +146,11 @@ def connected_components(
         else:
             nxt = nxt.checkpoint(eager=True)
         e = nxt
-        # fingerprint every 2nd round (and the last allowed round, so
-        # the unconverged-raise stays sound) — see fixed-cost note
-        if rnd % 2 == 1 or rnd == max_iter - 1:
+        # fingerprint after the FIRST round (pre-converged graphs —
+        # already-star pair sets are common — exit after one round),
+        # then every 2nd round, and on the last allowed round so the
+        # unconverged-raise stays sound — see fixed-cost note
+        if rnd == 0 or rnd % 2 == 1 or rnd == max_iter - 1:
             nfp = _fingerprint(nxt)
             if nfp == fp:
                 break

@@ -119,20 +119,31 @@ def cap_per_key(
     top-n, so phase 1 discards only non-answers — exactness holds for
     any salt assignment. ``order_cols`` must be a TOTAL order (include
     a unique id as the last term) or ties make ``rank`` ambiguous.
+    The sort compares ONLY the order key (comparator lambda), so the
+    payload may carry non-orderable columns (maps etc.).
     """
     ordk = F.struct(*[c if not isinstance(c, str) else F.col(c) for c in order_cols])
     payload = F.struct(*[F.col(c) for c in df.columns])
     salt = F.pmod(F.xxhash64(ordk), F.lit(salt_buckets))
+
+    def by_o(left, right):
+        return F.when(left["o"] < right["o"], F.lit(-1)).when(
+            left["o"] > right["o"], F.lit(1)
+        ).otherwise(F.lit(0))
+
+    def topn(col):
+        return F.slice(F.array_sort(F.collect_list(col), by_o), 1, n)
+
     p1 = (
         df.select(F.col(key_col).alias("__k"), salt.alias("__salt"),
                   F.struct(ordk.alias("o"), payload.alias("p")).alias("__row"))
         .groupBy("__k", "__salt")
-        .agg(F.slice(F.array_sort(F.collect_list("__row")), 1, n).alias("__top"))
+        .agg(topn("__row").alias("__top"))
         .select("__k", F.explode("__top").alias("__row"))
     )
     p2 = (
         p1.groupBy("__k")
-        .agg(F.slice(F.array_sort(F.collect_list("__row")), 1, n).alias("__top"))
+        .agg(topn("__row").alias("__top"))
         .select(F.posexplode("__top").alias("__pos", "__row"))
         .select(
             F.col("__row.p.*"),

@@ -256,7 +256,14 @@ def minhash_verified_join(
     with the corpus) and each new batch pays only its own signatures
     plus the band-bucket equi-join; no index-vs-index work, no full
     inverted index. First-shared-band dedup keeps each (probe, index)
-    pair once without a dropDuplicates shuffle."""
+    pair once without a dropDuplicates shuffle.
+
+    Shingle-less docs (shorter than n words) all carry the sentinel
+    all-MINHASH_P signature and therefore share every band bucket;
+    exact verification discards their pairs (0/0 Jaccard -> NULL
+    fails the filter), matching the exact operator's no-pair
+    semantics — but at web scale pre-filter empty docs BEFORE banding
+    or they form one quadratic bucket."""
     rows_per_band = n_hashes // bands
     sigp = _minhash_sig_frame(probe, n_hashes, n, id_col, text_col)
     sigx = _minhash_sig_frame(index, n_hashes, n, id_col, text_col)

@@ -155,3 +155,27 @@ def test_cap_per_key_equals_window_rank(spark):
         .collect()
     }
     assert got == want and len(got) == 8 * 5  # hot + k0..k6, 5 each
+
+
+def test_cap_per_key_allows_map_payload(spark):
+    """The sort comparator touches only the order key, so payloads
+    with non-orderable columns (maps) pass through."""
+    from pyspark.sql import functions as F
+
+    from osmquadtreepostgis_spark.operators.corpus import cap_per_key
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.5), (2, "a", 0.9), (3, "a", 0.1), (4, "b", 0.7)],
+        "doc_id long, dom string, q double",
+    ).withColumn("tags", F.create_map(F.lit("k"), F.col("doc_id").cast("string")))
+    out = cap_per_key(
+        df, "dom",
+        [(-F.col("q")).alias("nq"), F.col("doc_id").alias("i")],
+        n=2,
+    ).collect()
+    got = {(r["dom"], r["doc_id"]): (r["rank"], dict(r["tags"])) for r in out}
+    assert got == {
+        ("a", 2): (1, {"k": "2"}),
+        ("a", 1): (2, {"k": "1"}),
+        ("b", 4): (1, {"k": "4"}),
+    }
