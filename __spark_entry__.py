@@ -944,6 +944,42 @@ def q_text_analysis(spark, sf):
     )
 
 
+def q_cdc_dedup(spark, sf):
+    """Content-defined-chunk share detection (functions/cdc.py): a
+    TRUE polynomial rolling hash cuts each doc into content-defined
+    chunks (boundaries survive shifts/edits, unlike fixed blocks);
+    chunks shared by >= 2 docs corpus-wide mark duplicated passages.
+    Per doc: chunk count, shared-chunk count, tokens in shared
+    chunks. Share detection = one chunk_hash groupBy + a semi join."""
+    from osmquadtreepostgis_spark.functions.cdc import cdc_chunks
+
+    ch = cdc_chunks(_docs(spark, sf))
+    shared = (
+        ch.groupBy("chunk_hash")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("chunk_hash")
+    )
+    sh = ch.join(shared, "chunk_hash", "left_semi")
+    per_shared = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared_chunks"),
+        F.sum("n_tokens").cast("long").alias("shared_tokens"),
+    )
+    return (
+        ch.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"))
+        .join(per_shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_shared_chunks", F.lit(0)).alias("n_shared_chunks"),
+            F.coalesce("shared_tokens", F.lit(0).cast("long")).alias(
+                "shared_tokens"
+            ),
+        )
+    )
+
+
 def q_pii_scrub(spark, sf):
     """PII scrubbing (functions/pii.py): deterministic PII-laced text
     (emails / phones / IPv4s appended by doc_id class) -> typed
@@ -1298,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analysis": _shipped(q_text_analysis),
         "quality_filter": _shipped(q_quality_filter),
         "sample_stratified": _shipped(q_sample_stratified),
+        "cdc_dedup": _shipped(q_cdc_dedup),
         "pii_scrub": _shipped(q_pii_scrub),
         "multimodal_meta": _shipped(q_multimodal_meta),
         "multimodal_frames": _shipped(q_multimodal_frames),
@@ -1533,6 +1570,26 @@ def _incremental_oracle() -> str:
                    (coalesce(h.n, 0) = 0) AS keep
             FROM documents d LEFT JOIN hits h ON h.id_new = d.doc_id
             WHERE d.doc_id >= 250"""
+
+
+def _cdc_oracle() -> str:
+    from osmquadtreepostgis_spark.functions.cdc import sql_cdc_chunks
+
+    return f"""
+        WITH ch AS ({sql_cdc_chunks()}),
+        shared AS (SELECT chunk_hash FROM ch
+                   GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2),
+        per_shared AS (
+          SELECT c.doc_id, cast(count(*) as bigint) AS n_shared_chunks,
+                 cast(sum(c.n_tokens) as bigint) AS shared_tokens
+          FROM ch c JOIN shared s ON s.chunk_hash = c.chunk_hash
+          GROUP BY c.doc_id),
+        per_doc AS (SELECT doc_id, cast(count(*) as bigint) AS n_chunks
+                    FROM ch GROUP BY doc_id)
+        SELECT d.doc_id, d.n_chunks,
+               coalesce(p.n_shared_chunks, 0) AS n_shared_chunks,
+               coalesce(p.shared_tokens, 0) AS shared_tokens
+        FROM per_doc d LEFT JOIN per_shared p ON p.doc_id = d.doc_id"""
 
 
 def _pii_oracle() -> str:
@@ -2153,6 +2210,7 @@ def oracle_sql() -> dict[str, str]:
                   % 1000000
                   < (CASE lang WHEN 'de' THEN 0.25 WHEN 'en' THEN 0.5
                      WHEN 'fr' THEN 1.0 ELSE 0.0 END) * 1000000""",
+        "cdc_dedup": _cdc_oracle(),
         "pii_scrub": _pii_oracle(),
         "multimodal_meta": """
             SELECT doc_id,

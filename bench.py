@@ -155,6 +155,7 @@ def main() -> None:
         "image_near_dup",
         "dedup_minhash_lsh",
         "dedup_spans",
+        "cdc_dedup",
         "dedup_simhash",
         "embed_cosine_pairs",
         "embed_topk",
