@@ -944,6 +944,24 @@ def q_text_analysis(spark, sf):
     )
 
 
+def q_diverse_sample(spark, sf):
+    """Embedding-space diversity sampling: deterministic random-
+    hyperplane buckets (functions/embed.py — integer-quantized dot
+    products, bit-identical sign bits in both engines) + the
+    skew-safe per-key cap (corpus.cap_per_key, n=2 per bucket). No
+    neighborhood over-contributes: near-duplicate embeddings share a
+    bucket, so at most 2 survive per cosine region."""
+    from osmquadtreepostgis_spark.functions.embed import hyperplane_bucket
+    from osmquadtreepostgis_spark.operators.corpus import cap_per_key
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", hyperplane_bucket("embedding").alias("bucket")
+    )
+    return cap_per_key(
+        emb, "bucket", [F.col("vec_id").alias("i")], n=2
+    ).select("vec_id", "bucket", F.col("rank").cast("long").alias("rank"))
+
+
 def q_cdc_dedup(spark, sf):
     """Content-defined-chunk share detection (functions/cdc.py): a
     TRUE polynomial rolling hash cuts each doc into content-defined
@@ -1335,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": _shipped(q_quality_filter),
         "sample_stratified": _shipped(q_sample_stratified),
         "cdc_dedup": _shipped(q_cdc_dedup),
+        "diverse_sample": _shipped(q_diverse_sample),
         "pii_scrub": _shipped(q_pii_scrub),
         "multimodal_meta": _shipped(q_multimodal_meta),
         "multimodal_frames": _shipped(q_multimodal_frames),
@@ -1570,6 +1589,21 @@ def _incremental_oracle() -> str:
                    (coalesce(h.n, 0) = 0) AS keep
             FROM documents d LEFT JOIN hits h ON h.id_new = d.doc_id
             WHERE d.doc_id >= 250"""
+
+
+def _diverse_sample_oracle() -> str:
+    from osmquadtreepostgis_spark.functions.embed import sql_hyperplane_bucket
+
+    return f"""
+        WITH b AS (SELECT vec_id,
+                          {sql_hyperplane_bucket('embedding')} AS bucket
+                   FROM embeddings),
+        r AS (SELECT vec_id, bucket,
+                     row_number() OVER (PARTITION BY bucket
+                                        ORDER BY vec_id) AS rank
+              FROM b)
+        SELECT vec_id, bucket, cast(rank as bigint) AS rank
+        FROM r WHERE rank <= 2"""
 
 
 def _cdc_oracle() -> str:
@@ -2211,6 +2245,7 @@ def oracle_sql() -> dict[str, str]:
                   < (CASE lang WHEN 'de' THEN 0.25 WHEN 'en' THEN 0.5
                      WHEN 'fr' THEN 1.0 ELSE 0.0 END) * 1000000""",
         "cdc_dedup": _cdc_oracle(),
+        "diverse_sample": _diverse_sample_oracle(),
         "pii_scrub": _pii_oracle(),
         "multimodal_meta": """
             SELECT doc_id,

@@ -160,6 +160,7 @@ def main() -> None:
         "embed_cosine_pairs",
         "embed_topk",
         "embed_topk_ivf",
+        "diverse_sample",
         "fuzzy_name_lookup",
         "fuzzy_name_pairs",
         "html_extract",

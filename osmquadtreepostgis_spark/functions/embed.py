@@ -25,7 +25,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["hash_embedding", "hash_embeddings_frame", "sql_hash_embedding"]
+__all__ = [
+    "hash_embedding",
+    "hash_embeddings_frame",
+    "sql_hash_embedding",
+    "hyperplane_weights",
+    "hyperplane_bucket",
+    "sql_hyperplane_bucket",
+]
 
 
 def _md5int(c: Column) -> Column:
@@ -182,3 +189,69 @@ def sql_hash_embedding(expr: str, dim: int = 64) -> str:
         f"(CASE WHEN {norm} > 0 "
         f"THEN list_transform({vec}, v -> v / {norm}) ELSE {vec} END)"
     )
+
+
+# --- Hyperplane buckets for diversity sampling -----------------------------
+#
+# Deterministic random-hyperplane LSH over an embedding column, exact
+# across engines: embeddings are quantized to int64 (round(e * 1e6) —
+# float32 widens exactly to double, one double multiply, HALF_UP ==
+# away-from-zero in both engines for the same sign), hyperplane
+# weights are md5-derived ints in [-1000, 1000] computed ONCE in
+# Python and inlined as literals on BOTH sides, and the dot products
+# are pure int64 sums (|dot| <= 64 * 1e6 * 1000 < 2^37) — no float
+# accumulation order anywhere, so the sign bits are bit-identical.
+# Nearby vectors (cosine-wise) share sign bits with high probability,
+# so capping rows per bucket (operators/corpus.cap_per_key) yields an
+# embedding-space DIVERSITY sample: no bucket — no neighborhood —
+# over-contributes.
+
+
+def hyperplane_weights(n_bits: int, dim: int) -> list[list[int]]:
+    """md5-seeded integer hyperplanes, shared by Column and SQL."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"hp{b}_{i}".encode()).hexdigest()[:15], 16) % 2001)
+            - 1000
+            for i in range(dim)
+        ]
+        for b in range(n_bits)
+    ]
+
+
+def hyperplane_bucket(emb, n_bits: int = 8, dim: int = 64) -> Column:
+    """int64 bucket id: ``n_bits`` sign bits of integer hyperplane
+    dot products over the quantized embedding."""
+    c = F.col(emb) if isinstance(emb, str) else emb
+    qe = F.transform(c, lambda x: F.round(x.cast("double") * 1e6).cast("long"))
+    W = hyperplane_weights(n_bits, dim)
+    bucket: Column = F.lit(0).cast("long")
+    for b in range(n_bits):
+        w = F.array(*[F.lit(v).cast("long") for v in W[b]])
+        dot = F.aggregate(
+            F.zip_with(qe, w, lambda a, x: a * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket
+
+
+def sql_hyperplane_bucket(expr: str, n_bits: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of :func:`hyperplane_bucket` from the same weights."""
+    W = hyperplane_weights(n_bits, dim)
+    qe = (
+        f"list_transform({expr}, "
+        f"x -> cast(round(cast(x as double) * 1000000) as bigint))"
+    )
+    parts = []
+    for b in range(n_bits):
+        lits = ", ".join(str(v) for v in W[b])
+        dot = (
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> ({qe})[i] * ([{lits}])[i]))"
+        )
+        parts.append(f"(CASE WHEN {dot} >= 0 THEN {1 << b} ELSE 0 END)")
+    return "cast(" + " + ".join(parts) + " as bigint)"

@@ -115,3 +115,41 @@ def test_frame_variant_null_text_matches_column(spark):
     assert col == arr
     assert col[2] is None and col[4] is None
     assert col[1] is not None and col[3] is not None
+
+
+def test_hyperplane_buckets_group_similar_vectors(spark):
+    """Within-bucket mean cosine exceeds the global mean cosine —
+    the property that makes per-bucket caps a DIVERSITY sample —
+    and the bucket ids match the DuckDB twin bit-for-bit."""
+    import duckdb
+    import numpy as np
+
+    from osmquadtreepostgis_spark.functions.embed import (
+        hyperplane_bucket,
+        sql_hyperplane_bucket,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding", hyperplane_bucket("embedding").alias("b")
+    ).collect()
+    got = {r["vec_id"]: r["b"] for r in rows}
+    con = duckdb.connect()
+    want = dict(
+        con.sql(
+            f"SELECT vec_id, {sql_hyperplane_bucket('embedding')} "
+            f"FROM read_parquet('{sf}/embeddings.parquet')"
+        ).fetchall()
+    )
+    assert got == want
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    S = V @ V.T
+    b = np.array([r["b"] for r in rows])
+    same = b[:, None] == b[None, :]
+    np.fill_diagonal(same, False)
+    off = ~np.eye(len(V), dtype=bool)
+    within = S[same].mean()
+    global_mean = S[off].mean()
+    assert same.any()
+    assert within > global_mean + 0.05, (within, global_mean)
