@@ -863,6 +863,41 @@ def q_embed_topk(spark, sf):
     return KNN.ann_cosine_topk(emb, q, k=10).select("q_id", "vec_id", "rank")
 
 
+def q_knn_label_eval(spark, sf):
+    """kNN label-voting evaluation over the embeddings table (the
+    labeled-holdout sanity check a training-data pipeline runs on its
+    embedding space): exact cosine top-10 neighbors (self excluded)
+    vote on the label, majority wins, ties -> smallest label; output
+    per query: predicted vs true label. The vote is pure counting, so
+    the only fp surface is the top-k ordering embed_topk already
+    pins."""
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    top = KNN.ann_cosine_topk(emb, q, k=11)
+    nb = top.filter(F.col("vec_id") != F.col("q_id")).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    votes = nb.groupBy("q_id", "label").agg(F.count(F.lit(1)).alias("__n"))
+    best = votes.groupBy("q_id").agg(F.max("__n").alias("__bn"))
+    pred = (
+        votes.join(best, "q_id")
+        .filter(F.col("__n") == F.col("__bn"))
+        .groupBy("q_id")
+        .agg(F.min("label").alias("pred_label"))
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("true_label")
+    ).filter(F.col("q_id") < 50)
+    return pred.join(truth, "q_id").select(
+        "q_id",
+        F.col("pred_label").cast("long").alias("pred_label"),
+        F.col("true_label").cast("long").alias("true_label"),
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )
+
+
 def q_embed_topk_ivf(spark, sf):
     """The ANN SCALE path (anchor-bucket shuffle) oracle-checked at a
     provably-exact config: with n_probe = n_anchors every query probes
@@ -1346,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _shipped(q_dedup_simhash),
         "embed_cosine_pairs": _shipped(q_embed_cosine_pairs),
         "embed_topk": _shipped(q_embed_topk),
+        "knn_label_eval": _shipped(q_knn_label_eval),
         "embed_topk_ivf": _shipped(q_embed_topk_ivf),
         "fuzzy_name_lookup": _shipped(q_fuzzy_name_lookup),
         "fuzzy_name_pairs": _shipped(q_fuzzy_name_pairs),
@@ -2156,6 +2192,31 @@ def oracle_sql() -> dict[str, str]:
                    round({cos}, 4) AS cos_sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE {cos} >= 0.4""",
+        "knn_label_eval": f"""
+            WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
+                       WHERE vec_id < 50),
+            scored AS (
+              SELECT q.q_id, b.vec_id,
+                     {cos.replace('a.embedding', 'q.embedding')} AS cs
+              FROM q CROSS JOIN embeddings b),
+            ranked AS (SELECT q_id, vec_id,
+                              row_number() OVER (PARTITION BY q_id
+                                ORDER BY cs DESC, vec_id ASC) AS rank
+                       FROM scored),
+            nb AS (SELECT r.q_id, e.label
+                   FROM ranked r JOIN embeddings e ON e.vec_id = r.vec_id
+                   WHERE r.rank <= 11 AND r.vec_id <> r.q_id),
+            votes AS (SELECT q_id, label, count(*) AS n
+                      FROM nb GROUP BY 1, 2),
+            best AS (SELECT q_id, max(n) AS bn FROM votes GROUP BY 1),
+            pred AS (SELECT v.q_id, min(v.label) AS pred_label
+                     FROM votes v JOIN best b
+                       ON b.q_id = v.q_id AND v.n = b.bn
+                     GROUP BY 1)
+            SELECT p.q_id, cast(p.pred_label as bigint) AS pred_label,
+                   cast(e.label as bigint) AS true_label,
+                   (p.pred_label = e.label) AS correct
+            FROM pred p JOIN embeddings e ON e.vec_id = p.q_id""",
         "embed_topk": f"""
             WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings
                        WHERE vec_id < 5),

@@ -161,6 +161,7 @@ def main() -> None:
         "embed_topk",
         "embed_topk_ivf",
         "diverse_sample",
+        "knn_label_eval",
         "fuzzy_name_lookup",
         "fuzzy_name_pairs",
         "html_extract",
