@@ -74,7 +74,9 @@ def main() -> None:
     # --- headline: taskset-confined 8-core min-of-5 ------------------------
     # Methodology (BENCH/BASELINE.md "Headline methodology"): the whole
     # process tree (JVM + python workers) pinned to 8 cores — below
-    # this host's >8-thread frequency/bandwidth cliff — min of 7 runs,
+    # this host's >8-thread frequency/bandwidth cliff — min of 5 runs
+    # (bounds suite wall time when host stalls hit; the max-of-two-
+    # settings headline absorbs a bad confined draw),
     # separate process so JVM state can't leak. Reuses the audited
     # scaling.py worker (same warmup, same job). Falls back to the
     # unconfined number if taskset is unavailable.
@@ -88,7 +90,7 @@ def main() -> None:
         repo = os.path.dirname(os.path.abspath(__file__))
         env = dict(
             os.environ,
-            SCALING_RUNS=os.environ.get("SPARK_GRAFT_HEADLINE_RUNS", "7"),
+            SCALING_RUNS=os.environ.get("SPARK_GRAFT_HEADLINE_RUNS", "5"),
         )
         out = subprocess.run(
             [
