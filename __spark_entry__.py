@@ -640,23 +640,14 @@ def q_url_normalize(spark, sf):
     )
 
 
-def q_domain_stats(spark, sf):
-    """Per-registered-domain page/host stats through the TABLE-DRIVEN
-    public-suffix path (functions/urls.py:with_registered_domain +
-    psl_frame): synthesized hosts exercise all three PSL rule forms —
-    plain (`co.uk`, `com`), wildcard (`*.ck`), exception (`!www.ck`)
-    — resolved by candidate-suffix explode over DISTINCT hosts and a
-    broadcast rule join, exception-beats-all else longest-match."""
-    from osmquadtreepostgis_spark.functions.urls import (
-        psl_frame,
-        url_host,
-        with_registered_domain,
-    )
-
-    d = _docs(spark, sf)
+def _psl_fixture_url():
+    """Deterministic messy-host url per doc_id — ONE definition shared
+    by q_domain_stats / q_domain_cap; the SQL twin is
+    :func:`_psl_fixture_url_sql`, and both must stay byte-equivalent
+    for the domain oracles to compare the same inputs."""
     k = (F.col("doc_id") % 23).cast("string")
     i = F.col("doc_id").cast("string")
-    url = (
+    return (
         F.when(
             F.col("doc_id") % 5 == 0,
             F.concat(F.lit("https://www.site"), k, F.lit(".co.uk/p/"), i),
@@ -677,7 +668,43 @@ def q_domain_stats(spark, sf):
             F.concat(F.lit("https://a"), k, F.lit(".b"), k, F.lit(".ck/t/"), i)
         )
     )
-    pages = d.select("doc_id", url.alias("url"))
+
+
+def _psl_fixture_url_sql() -> str:
+    return (
+        "(CASE WHEN doc_id % 5 = 0 THEN "
+        "'https://www.site' || cast(doc_id % 23 as varchar) || "
+        "'.co.uk/p/' || cast(doc_id as varchar) "
+        "WHEN doc_id % 5 = 1 THEN "
+        "'https://host' || cast(doc_id % 23 as varchar) || "
+        "'.example.com/q/' || cast(doc_id as varchar) "
+        "WHEN doc_id % 5 = 2 THEN "
+        "'https://app' || cast(doc_id % 23 as varchar) || "
+        "'.github.io/r/' || cast(doc_id as varchar) "
+        "WHEN doc_id % 5 = 3 THEN "
+        "'https://bar' || cast(doc_id % 23 as varchar) || "
+        "'.www.ck/s/' || cast(doc_id as varchar) "
+        "ELSE 'https://a' || cast(doc_id % 23 as varchar) || "
+        "'.b' || cast(doc_id % 23 as varchar) || "
+        "'.ck/t/' || cast(doc_id as varchar) END)"
+    )
+
+
+def q_domain_stats(spark, sf):
+    """Per-registered-domain page/host stats through the TABLE-DRIVEN
+    public-suffix path (functions/urls.py:with_registered_domain +
+    psl_frame): synthesized hosts exercise all three PSL rule forms —
+    plain (`co.uk`, `com`), wildcard (`*.ck`), exception (`!www.ck`)
+    — resolved by candidate-suffix explode over DISTINCT hosts and a
+    broadcast rule join, exception-beats-all else longest-match."""
+    from osmquadtreepostgis_spark.functions.urls import (
+        psl_frame,
+        url_host,
+        with_registered_domain,
+    )
+
+    d = _docs(spark, sf)
+    pages = d.select("doc_id", _psl_fixture_url().alias("url"))
     out = with_registered_domain(pages, "url", psl=psl_frame(spark))
     return (
         out.select(url_host("url").alias("host"), "registered_domain")
@@ -704,31 +731,10 @@ def q_domain_cap(spark, sf):
     from osmquadtreepostgis_spark.operators.corpus import cap_per_key
 
     d = _docs(spark, sf)
-    k = (F.col("doc_id") % 23).cast("string")
-    i = F.col("doc_id").cast("string")
-    url = (
-        F.when(
-            F.col("doc_id") % 5 == 0,
-            F.concat(F.lit("https://www.site"), k, F.lit(".co.uk/p/"), i),
-        )
-        .when(
-            F.col("doc_id") % 5 == 1,
-            F.concat(F.lit("https://host"), k, F.lit(".example.com/q/"), i),
-        )
-        .when(
-            F.col("doc_id") % 5 == 2,
-            F.concat(F.lit("https://app"), k, F.lit(".github.io/r/"), i),
-        )
-        .when(
-            F.col("doc_id") % 5 == 3,
-            F.concat(F.lit("https://bar"), k, F.lit(".www.ck/s/"), i),
-        )
-        .otherwise(
-            F.concat(F.lit("https://a"), k, F.lit(".b"), k, F.lit(".ck/t/"), i)
-        )
-    )
     pages = d.select(
-        "doc_id", url.alias("url"), TX.quality_score("text").alias("q")
+        "doc_id",
+        _psl_fixture_url().alias("url"),
+        TX.quality_score("text").alias("q"),
     )
     dom = with_registered_domain(pages, "url", psl=psl_frame(spark)).select(
         "doc_id", "q", F.col("registered_domain").alias("domain")
@@ -1718,23 +1724,7 @@ def _domain_stats_oracle() -> str:
         sql_url_host,
     )
 
-    url = (
-        "(CASE WHEN doc_id % 5 = 0 THEN "
-        "'https://www.site' || cast(doc_id % 23 as varchar) || "
-        "'.co.uk/p/' || cast(doc_id as varchar) "
-        "WHEN doc_id % 5 = 1 THEN "
-        "'https://host' || cast(doc_id % 23 as varchar) || "
-        "'.example.com/q/' || cast(doc_id as varchar) "
-        "WHEN doc_id % 5 = 2 THEN "
-        "'https://app' || cast(doc_id % 23 as varchar) || "
-        "'.github.io/r/' || cast(doc_id as varchar) "
-        "WHEN doc_id % 5 = 3 THEN "
-        "'https://bar' || cast(doc_id % 23 as varchar) || "
-        "'.www.ck/s/' || cast(doc_id as varchar) "
-        "ELSE 'https://a' || cast(doc_id % 23 as varchar) || "
-        "'.b' || cast(doc_id % 23 as varchar) || "
-        "'.ck/t/' || cast(doc_id as varchar) END)"
-    )
+    url = _psl_fixture_url_sql()
     psl = sql_registered_domain_psl("SELECT DISTINCT host FROM ph")
     return f"""
         WITH ph AS (SELECT {sql_url_host(url)} AS host FROM documents),
@@ -1753,23 +1743,7 @@ def _domain_cap_oracle() -> str:
         sql_url_host,
     )
 
-    url = (
-        "(CASE WHEN doc_id % 5 = 0 THEN "
-        "'https://www.site' || cast(doc_id % 23 as varchar) || "
-        "'.co.uk/p/' || cast(doc_id as varchar) "
-        "WHEN doc_id % 5 = 1 THEN "
-        "'https://host' || cast(doc_id % 23 as varchar) || "
-        "'.example.com/q/' || cast(doc_id as varchar) "
-        "WHEN doc_id % 5 = 2 THEN "
-        "'https://app' || cast(doc_id % 23 as varchar) || "
-        "'.github.io/r/' || cast(doc_id as varchar) "
-        "WHEN doc_id % 5 = 3 THEN "
-        "'https://bar' || cast(doc_id % 23 as varchar) || "
-        "'.www.ck/s/' || cast(doc_id as varchar) "
-        "ELSE 'https://a' || cast(doc_id % 23 as varchar) || "
-        "'.b' || cast(doc_id % 23 as varchar) || "
-        "'.ck/t/' || cast(doc_id as varchar) END)"
-    )
+    url = _psl_fixture_url_sql()
     psl = sql_registered_domain_psl("SELECT DISTINCT host FROM pages")
     return f"""
         WITH pages AS (SELECT doc_id, {sql_url_host(url)} AS host,

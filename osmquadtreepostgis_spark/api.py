@@ -172,7 +172,10 @@ def write_to_tables(
         # THIS run's rows so stale quarantine from earlier runs into the
         # same out_dir doesn't flag a clean run (ADVICE r3).
         spark = elements.sparkSession
-        err = spark.read.parquet(errors_dir)
+        # mergeSchema: a mixed dir (pre-run_id files + this run's)
+        # must not let footer-inference pick an old file and skip the
+        # run_id filter nondeterministically
+        err = spark.read.option("mergeSchema", "true").parquet(errors_dir)
         if "run_id" in err.columns:
             err = err.filter(F.col("run_id") == run_id)
         if not err.isEmpty():

@@ -223,8 +223,23 @@ def hyperplane_weights(n_bits: int, dim: int) -> list[list[int]]:
 
 def hyperplane_bucket(emb, n_bits: int = 8, dim: int = 64) -> Column:
     """int64 bucket id: ``n_bits`` sign bits of integer hyperplane
-    dot products over the quantized embedding."""
+    dot products over the quantized embedding.
+
+    RAISES at runtime on a dimension mismatch: ``zip_with`` against a
+    wrong-length weight array would null the dot products and silently
+    collapse EVERY row into bucket 0 — composed with a per-bucket cap
+    that would shrink a corpus to n documents with no error."""
     c = F.col(emb) if isinstance(emb, str) else emb
+    c = F.when(
+        F.size(c) == dim, c
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"hyperplane_bucket: expected dim={dim}, got "),
+                F.size(c).cast("string"),
+            )
+        )
+    )
     qe = F.transform(c, lambda x: F.round(x.cast("double") * 1e6).cast("long"))
     W = hyperplane_weights(n_bits, dim)
     bucket: Column = F.lit(0).cast("long")

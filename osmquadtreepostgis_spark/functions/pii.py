@@ -41,15 +41,18 @@ _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _IP_RE = (
     r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
 )
-# phone shapes: with a +country or (area) prefix, 2+ separated digit
-# groups suffice; without a prefix, 3+ separated groups are required
-# so years, ids, and "12 34"-style pairs survive (a 3-group date like
-# 12-03-1999 is treated as phone-like — the conservative direction
-# for PII removal)
+# phone shapes: with a +country or (area) prefix, one digit run (2-10
+# digits) suffices — the prefix is the signal; without a prefix, 3+
+# separated groups are required so years, ids, and "12 34"-style
+# pairs survive (a 3-group date like 12-03-1999 is treated as
+# phone-like — the conservative direction for PII removal). Group
+# bounds go to 10 digits so a long subscriber run ("+44 20 79460000")
+# is swallowed whole instead of leaving digit residue beside the
+# placeholder.
 _PHONE_RE = (
     r"(?:\+[0-9]{1,3}[ .-]?|\([0-9]{2,4}\)[ .-]?)"
-    r"(?:\([0-9]{2,4}\)[ .-]?)?[0-9]{2,4}(?:[ .-][0-9]{2,4})+"
-    r"|[0-9]{2,4}[ .-][0-9]{2,4}(?:[ .-][0-9]{2,4})+"
+    r"(?:\([0-9]{2,4}\)[ .-]?)?[0-9]{2,10}(?:[ .-][0-9]{2,10})*"
+    r"|[0-9]{2,10}[ .-][0-9]{2,10}(?:[ .-][0-9]{2,10})+"
 )
 
 _REPLACEMENTS = [

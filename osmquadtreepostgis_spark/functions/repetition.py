@@ -251,11 +251,17 @@ def repetition_signals_frame(
             parts.append(F.col(f"__w{j}"))
         g = g.select(ic, F.concat_ws(" ", *parts).alias("__g"))
         gc = g.groupBy(ic, "__g").agg(F.count(F.lit(1)).alias("__c"))
-        gagg = gc.groupBy(ic).agg(
-            F.sum("__c").alias(f"__{top_or_dup}_ng"),
-            F.count(F.lit(1)).alias(f"__{top_or_dup}_dg"),
-            F.max("__c").alias(f"__{top_or_dup}_top"),
-        )
+        # only the aggregates each signal reads: top pass -> max count;
+        # dup pass -> total + distinct (unused columns were dead
+        # shuffle width on exactly the giant-doc path this mode is for)
+        if top_or_dup == "top":
+            aggs = [F.max("__c").alias("__top_top")]
+        else:
+            aggs = [
+                F.sum("__c").alias("__dup_ng"),
+                F.count(F.lit(1)).alias("__dup_dg"),
+            ]
+        gagg = gc.groupBy(ic).agg(*aggs)
         grams = gagg if grams is None else grams.join(gagg, id_col, "full")
     out = (
         ntok.join(lagg, id_col, "left").join(grams, id_col, "left")

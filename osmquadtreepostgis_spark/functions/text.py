@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "token_count",
+    "subword_token_count",
+    "sql_subword_token_count",
     "lang_id",
     "quality_score",
     "fingerprint",

@@ -134,7 +134,32 @@ DEFAULT_PSL_RULES = [
     "!www.ck",
 ]
 
-_PSL_MAX_LABELS = 4  # longest rule in the snapshot, incl. wildcard depth
+def _psl_rows(rules: list[str] | None) -> list[tuple[str, str, int]]:
+    """Parse publicsuffix.org rule strings into
+    ``(match, kind, ps_labels)`` rows — the ONE place the three rule
+    forms are interpreted (shared by :func:`psl_frame` and
+    :func:`sql_registered_domain_psl`, so Spark and the twin can
+    never drift)."""
+    rows = []
+    for r in rules if rules is not None else DEFAULT_PSL_RULES:
+        if r.startswith("!"):
+            body = r[1:]
+            rows.append((body, "exc", len(body.split(".")) - 1))
+        elif r.startswith("*."):
+            body = r[2:]
+            rows.append((body, "wild", len(body.split(".")) + 1))
+        else:
+            rows.append((r, "plain", len(r.split("."))))
+    return rows
+
+
+def _psl_max_labels(rows: list[tuple[str, str, int]]) -> int:
+    """Deepest suffix any rule can match: the candidate explode must
+    cover it or deeper rules silently never fire. Exception rules
+    must be SEEN at their full depth (ps_labels + 1)."""
+    return max(
+        (p + 1 if k == "exc" else p) for _, k, p in rows
+    )
 
 
 def psl_frame(spark, rules: list[str] | None = None):
@@ -148,17 +173,9 @@ def psl_frame(spark, rules: list[str] | None = None):
 
     Tiny by construction (the full PSL is ~10k rows) — always
     broadcast."""
-    rows = []
-    for r in rules if rules is not None else DEFAULT_PSL_RULES:
-        if r.startswith("!"):
-            body = r[1:]
-            rows.append((body, "exc", len(body.split(".")) - 1))
-        elif r.startswith("*."):
-            body = r[2:]
-            rows.append((body, "wild", len(body.split(".")) + 1))
-        else:
-            rows.append((r, "plain", len(r.split("."))))
-    return spark.createDataFrame(rows, "match string, kind string, ps_labels int")
+    return spark.createDataFrame(
+        _psl_rows(rules), "match string, kind string, ps_labels int"
+    )
 
 
 def with_registered_domain(
@@ -173,7 +190,10 @@ def with_registered_domain(
 
     Table-driven plan (the 100 TB shape): project DISTINCT hosts
     (shrinks ~10^12 rows to ~10^8 hosts), explode each host's last-k
-    suffixes (k <= max rule depth, so <= 4 rows/host), broadcast-join
+    suffixes (k <= the SUPPLIED rules' max depth — derived from the
+    tiny rule table with one cheap action, so a full PSL with 5-label
+    rules like ``*.compute.amazonaws.com`` matches at full depth
+    instead of silently falling through), broadcast-join
     the rule table twice (plain/exception on the suffix, wildcard on
     the suffix's parent), pick per host: exception beats all (public
     suffix = rule minus leftmost label), else the LONGEST matching
@@ -186,7 +206,17 @@ def with_registered_domain(
     hosts = df.select(url_host(u).alias("__host")).distinct()
     labels = F.split(F.col("__host"), r"\.")
     n = F.size(labels)
-    maxk = F.least(n, F.lit(_PSL_MAX_LABELS))
+    # exception rules match at ps_labels + 1 labels; the explode must
+    # reach that deep or they (and deep plain rules) never fire
+    depth_row = psl.agg(
+        F.max(
+            F.when(F.col("kind") == "exc", F.col("ps_labels") + 1).otherwise(
+                F.col("ps_labels")
+            )
+        )
+    ).first()
+    max_labels = int(depth_row[0]) if depth_row[0] is not None else 1
+    maxk = F.least(n, F.lit(max_labels))
     cand = hosts.select(
         "__host",
         n.alias("__n"),
@@ -253,17 +283,10 @@ def sql_registered_domain_psl(
     algorithm: candidate last-k-suffix explode, rule join
     (plain/exception on suffix, wildcard on parent at the rule's
     depth), exception-beats-all else longest-match else the default
-    ``*`` rule."""
-    rows = []
-    for r in rules if rules is not None else DEFAULT_PSL_RULES:
-        if r.startswith("!"):
-            body = r[1:]
-            rows.append((body, "exc", len(body.split(".")) - 1))
-        elif r.startswith("*."):
-            body = r[2:]
-            rows.append((body, "wild", len(body.split(".")) + 1))
-        else:
-            rows.append((r, "plain", len(r.split("."))))
+    ``*`` rule. Rules are parsed by the SAME :func:`_psl_rows` the
+    Spark side uses, and the explode depth is derived from them."""
+    rows = _psl_rows(rules)
+    max_labels = _psl_max_labels(rows)
     vals = ", ".join(f"('{m}', '{k}', {p})" for m, k, p in rows)
     return f"""
         WITH hosts AS ({hosts_sql}),
@@ -276,7 +299,7 @@ def sql_registered_domain_psl(
                           THEN array_to_string(ls[n - k + 2 : n], '.') END
                           AS parent
                  FROM lab CROSS JOIN
-                      unnest(range(1, least(n, {_PSL_MAX_LABELS}) + 1))
+                      unnest(range(1, least(n, {max_labels}) + 1))
                         AS t(k)),
         rules(match, kind, ps_labels) AS (SELECT * FROM (VALUES {vals})),
         m AS (SELECT host, kind, ps_labels

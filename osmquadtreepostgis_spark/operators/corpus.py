@@ -103,54 +103,46 @@ def cap_per_key(
     pipeline applies ("at most N pages per registered domain, best
     quality first").
 
-    NOT a ``Window.partitionBy(key)`` row_number: a window partition
-    cannot be AQE-split, so one hot domain with 10^9 pages lands in a
-    single task at web scale (same argument as the dedup df counts,
-    VERDICT r2). Instead, exact two-phase top-n:
+    NOT a bare ``Window.partitionBy(key)`` row_number: a window
+    partition cannot be AQE-split, so one hot domain with 10^9 pages
+    lands in a single task at web scale (same argument as the dedup
+    df counts, VERDICT r2). Instead, exact two-phase top-n:
 
     1. salt each row into one of ``salt_buckets`` sub-groups of its
-       key (hash of the order key, deterministic); per (key, salt)
-       aggregate the sorted top-n — map-side combinable, bounded
-       collect (each group keeps <= n structs after the slice);
-    2. re-aggregate the <= salt_buckets * n survivors per key and
-       slice the global top-n, emitting ``rank`` (1-based).
+       key (hash of the order key, deterministic) and take the
+       per-(key, salt) top-n via a (key, salt)-partitioned
+       ``row_number`` — the hot key splits across ``salt_buckets``
+       tasks, and WindowExec's external sort SPILLS, so task memory
+       stays bounded even for a degenerate group (an earlier
+       collect_list formulation buffered the whole (key, salt) group
+       in one aggregation buffer — code-review r4);
+    2. re-rank the <= salt_buckets * n survivors per key (a bounded
+       partition by construction) for the global top-n ``rank``.
 
     A row outside its (key, salt) top-n cannot be in the key's global
     top-n, so phase 1 discards only non-answers — exactness holds for
     any salt assignment. ``order_cols`` must be a TOTAL order (include
     a unique id as the last term) or ties make ``rank`` ambiguous.
-    The sort compares ONLY the order key (comparator lambda), so the
-    payload may carry non-orderable columns (maps etc.).
+    Both windows order by the order-key struct only, so the payload
+    may carry non-orderable columns (maps etc.).
     """
+    from pyspark.sql import Window
+
     ordk = F.struct(*[c if not isinstance(c, str) else F.col(c) for c in order_cols])
-    payload = F.struct(*[F.col(c) for c in df.columns])
     salt = F.pmod(F.xxhash64(ordk), F.lit(salt_buckets))
-
-    def by_o(left, right):
-        return F.when(left["o"] < right["o"], F.lit(-1)).when(
-            left["o"] > right["o"], F.lit(1)
-        ).otherwise(F.lit(0))
-
-    def topn(col):
-        return F.slice(F.array_sort(F.collect_list(col), by_o), 1, n)
-
-    p1 = (
-        df.select(F.col(key_col).alias("__k"), salt.alias("__salt"),
-                  F.struct(ordk.alias("o"), payload.alias("p")).alias("__row"))
-        .groupBy("__k", "__salt")
-        .agg(topn("__row").alias("__top"))
-        .select("__k", F.explode("__top").alias("__row"))
+    base = df.select(
+        F.col(key_col).alias("__k"), salt.alias("__salt"), ordk.alias("__o"), "*"
     )
-    p2 = (
-        p1.groupBy("__k")
-        .agg(topn("__row").alias("__top"))
-        .select(F.posexplode("__top").alias("__pos", "__row"))
-        .select(
-            F.col("__row.p.*"),
-            (F.col("__pos") + 1).alias("rank"),
-        )
+    w1 = Window.partitionBy("__k", "__salt").orderBy(F.col("__o").asc())
+    p1 = base.withColumn("__r1", F.row_number().over(w1)).filter(
+        F.col("__r1") <= n
     )
-    return p2
+    w2 = Window.partitionBy("__k").orderBy(F.col("__o").asc())
+    return (
+        p1.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= n)
+        .drop("__k", "__salt", "__o", "__r1")
+    )
 
 
 def pack_sequences(

@@ -269,6 +269,7 @@ def stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving canonical doc, ``(doc_id, n_dupes)``."""
     from ..functions.repetition import dup_ngram_frac, top_ngram_frac
     from ..functions.text import fingerprint128
+    from ..operators.corpus import quality_filter
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     stage = (
@@ -284,23 +285,17 @@ def stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(str(stage))
     )
-    toks = F.split(F.col("text"), " ")
-    n_words = F.size(toks).cast("long")
-    total_chars = F.length(F.regexp_replace(F.col("text"), " ", ""))
-    mean_wl = total_chars / F.greatest(n_words, F.lit(1))
-    symbols = F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9 ]", ""))
-    keep_quality = (
-        (n_words >= 20)
-        & (mean_wl <= 12.0)
-        & (mean_wl >= 2.0)
-        & (symbols / F.greatest(total_chars, F.lit(1)) <= 0.3)
-    )
+    # the SAME rule operators curate_corpus composes — quality_filter
+    # is pure-Column, so it applies to a streaming frame unchanged;
+    # re-implementing the expressions here would let the stream drift
+    # from the batch composition silently
+    gated = quality_filter(src, min_words=20).filter(F.col("keep"))
     keep_repetition = (top_ngram_frac("text", 2) <= 0.13) & (
         dup_ngram_frac("text", 2) <= 0.065
     )
     fp_lo, fp_hi = fingerprint128("text")
     return (
-        src.filter(keep_quality & keep_repetition)
+        gated.filter(keep_repetition)
         .select(fp_lo.alias("fp_lo"), fp_hi.alias("fp_hi"), "doc_id")
         .groupBy("fp_lo", "fp_hi")
         .agg(

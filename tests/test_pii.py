@@ -69,3 +69,25 @@ def test_duckdb_twin_byte_identical(scrubbed):
     )
     for i, c, ne_v, ni_v, np_v in con.execute(q).fetchall():
         assert scrubbed[i] == (c, ne_v, ni_v, np_v), i
+
+
+def test_phone_long_groups_leave_no_residue(spark):
+    """Digit runs longer than 4 next to a prefix are swallowed whole —
+    no digit residue beside the placeholder (code-review r4)."""
+    from osmquadtreepostgis_spark.functions.pii import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "call +44 20 79460000 today"),
+            (2, "call +44 20 79123-09123 today"),
+            (3, "+1 5551234567"),
+        ],
+        "i int, t string",
+    )
+    got = {r["i"]: r["c"] for r in df.select("i", scrub_pii("t").alias("c")).collect()}
+    assert got[1] == "call <PHONE> today"
+    assert got[2] == "call <PHONE> today"
+    assert got[3] == "<PHONE>"
+    for v in got.values():
+        import re
+        assert not re.search(r"<PHONE>[0-9]|[0-9]<PHONE>", v), v

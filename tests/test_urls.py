@@ -156,3 +156,46 @@ def test_psl_none_falls_back_to_heuristic(spark):
     a = with_registered_domain(df, "url").select("registered_domain").collect()
     b = df.select(registered_domain("url").alias("registered_domain")).collect()
     assert a == b
+
+
+def test_psl_depth_derived_from_rules(spark):
+    """Rules deeper than the default snapshot (e.g. the real PSL's
+    *.compute.amazonaws.com) must match at full depth — the explode
+    depth is derived from the supplied rules, not a constant."""
+    import duckdb
+
+    from osmquadtreepostgis_spark.functions.urls import (
+        psl_frame,
+        sql_registered_domain_psl,
+        with_registered_domain,
+    )
+
+    rules = ["com", "amazonaws.com", "*.compute.amazonaws.com"]
+    cases = {
+        # *.compute.amazonaws.com -> eu-1.compute.amazonaws.com is the
+        # public suffix; registrable = one more label
+        "x.y.eu-1.compute.amazonaws.com": "y.eu-1.compute.amazonaws.com",
+        "y.eu-1.compute.amazonaws.com": "y.eu-1.compute.amazonaws.com",
+        "foo.amazonaws.com": "foo.amazonaws.com",
+        "a.b.example.com": "example.com",
+    }
+    df = spark.createDataFrame(
+        [(h, f"https://{h}/") for h in cases], "host string, url string"
+    )
+    got = {
+        r["host"]: r["registered_domain"]
+        for r in with_registered_domain(
+            df, "url", psl=psl_frame(spark, rules)
+        ).collect()
+    }
+    assert got == cases
+    vals = ", ".join(f"('{h}')" for h in cases)
+    con = duckdb.connect()
+    twin = dict(
+        con.sql(
+            sql_registered_domain_psl(
+                f"SELECT * FROM (VALUES {vals}) AS t(host)", rules
+            )
+        ).fetchall()
+    )
+    assert twin == cases
