@@ -79,6 +79,12 @@ def assemble_multipolygons(members: DataFrame, round_2dp: bool = False) -> DataF
 
     def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
         rel_id = int(key[0])
+        # Chaining is order-sensitive; rows arrive in arbitrary
+        # partition-concat order after the groupBy shuffle, so pin member
+        # order (the reference processes members in relation member order,
+        # src/processpostgis.cpp:138-143 analog).
+        if "way_id" in pdf.columns:
+            pdf = pdf.sort_values("way_id", kind="stable")
         outers, inners = [], []
         for _, row in pdf.iterrows():
             ring = np.array([[c["lon"], c["lat"]] for c in row["coords"]])
