@@ -225,22 +225,26 @@ def hyperplane_bucket(emb, n_bits: int = 8, dim: int = 64) -> Column:
     """int64 bucket id: ``n_bits`` sign bits of integer hyperplane
     dot products over the quantized embedding.
 
-    RAISES at runtime on a dimension mismatch: ``zip_with`` against a
-    wrong-length weight array would null the dot products and silently
-    collapse EVERY row into bucket 0 — composed with a per-bucket cap
-    that would shrink a corpus to n documents with no error."""
+    NULL embeddings propagate to a NULL bucket (hash_embeddings_frame
+    emits NULL for NULL text, so a corpus with null text must not
+    abort here — and must not silently land in bucket 0 either).
+    RAISES at runtime on a non-null dimension mismatch: ``zip_with``
+    against a wrong-length weight array would null the dot products
+    and silently collapse EVERY row into bucket 0 — composed with a
+    per-bucket cap that would shrink a corpus to n documents with no
+    error."""
     c = F.col(emb) if isinstance(emb, str) else emb
-    c = F.when(
+    checked = F.when(
         F.size(c) == dim, c
     ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(f"hyperplane_bucket: expected dim={dim}, got "),
-                F.size(c).cast("string"),
+                F.coalesce(F.size(c).cast("string"), F.lit("NULL")),
             )
         )
     )
-    qe = F.transform(c, lambda x: F.round(x.cast("double") * 1e6).cast("long"))
+    qe = F.transform(checked, lambda x: F.round(x.cast("double") * 1e6).cast("long"))
     W = hyperplane_weights(n_bits, dim)
     bucket: Column = F.lit(0).cast("long")
     for b in range(n_bits):
@@ -251,11 +255,16 @@ def hyperplane_bucket(emb, n_bits: int = 8, dim: int = 64) -> Column:
             lambda acc, v: acc + v,
         )
         bucket = bucket + F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return bucket
+    # CASE short-circuits per row: NULL rows never reach the dim check
+    # (F.size(NULL) is NULL -> the when() would fall through to the
+    # raise_error branch with a NULL message otherwise).
+    return F.when(c.isNull(), F.lit(None).cast("long")).otherwise(bucket)
 
 
 def sql_hyperplane_bucket(expr: str, n_bits: int = 8, dim: int = 64) -> str:
-    """DuckDB twin of :func:`hyperplane_bucket` from the same weights."""
+    """DuckDB twin of :func:`hyperplane_bucket` from the same weights —
+    including the edge semantics: NULL in -> NULL bucket, non-null
+    wrong-dim -> error() (never a silent bucket-0 collapse)."""
     W = hyperplane_weights(n_bits, dim)
     qe = (
         f"list_transform({expr}, "
@@ -269,4 +278,11 @@ def sql_hyperplane_bucket(expr: str, n_bits: int = 8, dim: int = 64) -> str:
             f"i -> ({qe})[i] * ([{lits}])[i]))"
         )
         parts.append(f"(CASE WHEN {dot} >= 0 THEN {1 << b} ELSE 0 END)")
-    return "cast(" + " + ".join(parts) + " as bigint)"
+    bucket = "cast(" + " + ".join(parts) + " as bigint)"
+    return (
+        f"(CASE WHEN ({expr}) IS NULL THEN NULL "
+        f"WHEN len({expr}) != {dim} "
+        f"THEN error('hyperplane_bucket: expected dim={dim}, got ' "
+        f"|| len({expr})) "
+        f"ELSE {bucket} END)"
+    )

@@ -96,6 +96,7 @@ def cap_per_key(
     order_cols: list,
     n: int,
     salt_buckets: int = 64,
+    rank_col: str = "rank",
 ) -> DataFrame:
     """Exact deterministic top-``n`` rows per ``key_col`` under the
     ascending ``order_cols`` total order (pass negated columns for
@@ -125,9 +126,21 @@ def cap_per_key(
     a unique id as the last term) or ties make ``rank`` ambiguous.
     Both windows order by the order-key struct only, so the payload
     may carry non-orderable columns (maps etc.).
+
+    The output gains a ``rank_col`` column (1-based within key).
+    RAISES if ``rank_col`` or an internal helper name already exists
+    in ``df`` — ``withColumn`` would silently overwrite caller data.
     """
     from pyspark.sql import Window
 
+    reserved = {"__k", "__salt", "__o", "__r1", rank_col}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"cap_per_key: input columns {clash} collide with the output "
+            f"rank column or internal helpers; rename them or pass a "
+            f"different rank_col="
+        )
     ordk = F.struct(*[c if not isinstance(c, str) else F.col(c) for c in order_cols])
     salt = F.pmod(F.xxhash64(ordk), F.lit(salt_buckets))
     base = df.select(
@@ -139,8 +152,8 @@ def cap_per_key(
     )
     w2 = Window.partitionBy("__k").orderBy(F.col("__o").asc())
     return (
-        p1.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= n)
+        p1.withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= n)
         .drop("__k", "__salt", "__o", "__r1")
     )
 

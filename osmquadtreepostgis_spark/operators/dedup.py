@@ -515,6 +515,34 @@ def _band_structs(n_hashes: int, bands: int):
     )
 
 
+def minhash_geometry(
+    threshold: float,
+    rows_per_band: int = 2,
+    target_miss: float = 1e-6,
+) -> tuple[int, int]:
+    """Derive an (n_hashes, bands) LSH geometry whose miss probability
+    for a TRUE pair at exactly ``threshold`` Jaccard is below
+    ``target_miss``: bands = ceil(ln(miss) / ln(1 - t^r)).
+
+    A pair at Jaccard ``t`` shares a given band with probability
+    ``t^r`` and is missed when it shares none: ``(1 - t^r)^b``.  Fixed
+    small geometries (e.g. 16 hashes / 4 bands) look fine on
+    high-Jaccard fixtures but miss a t=0.5 pair 77 % of the time —
+    sizing MUST come from the configured threshold (ADVICE r4).
+    Larger ``rows_per_band`` cuts false candidates (candidate prob for
+    a low-Jaccard pair falls as j^r per band) at the cost of more
+    bands for the same recall; r=2 matches dedup_incremental_minhash's
+    established 32/16 shape at its fixture threshold.
+    """
+    import math
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    p_band = threshold ** rows_per_band
+    bands = max(1, math.ceil(math.log(target_miss) / math.log(1.0 - p_band)))
+    return bands * rows_per_band, bands
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     n_hashes: int = 16,
@@ -577,8 +605,8 @@ def minhash_verified_pairs(
     df: DataFrame,
     threshold: float,
     n: int = 3,
-    n_hashes: int = 16,
-    bands: int = 4,
+    n_hashes: int | None = None,
+    bands: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -592,7 +620,11 @@ def minhash_verified_pairs(
     rounded 4dp), id_a < id_b — restricted to pairs LSH recalled: a
     true pair sharing NO band is missed (probability (1-t^r)^b for
     Jaccard t, r rows/band). Verification makes precision exact; only
-    recall is probabilistic.
+    recall is probabilistic.  When ``n_hashes``/``bands`` are left
+    None the geometry is DERIVED from ``threshold`` via
+    :func:`minhash_geometry` so that miss probability at the
+    configured threshold is < 1e-6 (a fixed 16/4 geometry misses a
+    t=0.5 pair 77 % of the time — ADVICE r4).
 
     Scale shape vs the exact operator: the inverted-index self-join's
     prefix explode is O(corpus × prefix); the LSH path's heavy stage
@@ -601,14 +633,32 @@ def minhash_verified_pairs(
     bucket occupancy. Verification joins the candidate pairs (tiny at
     web-scale dup rates) back to the shingle arrays twice.
     """
-    cand = minhash_lsh_pairs(
-        df,
-        n_hashes=n_hashes,
-        bands=bands,
-        n=n,
-        id_col=id_col,
-        text_col=text_col,
-    ).select("id_a", "id_b")
+    if n_hashes is None or bands is None:
+        derived_hashes, derived_bands = minhash_geometry(threshold)
+        n_hashes = derived_hashes if n_hashes is None else n_hashes
+        bands = derived_bands if bands is None else bands
+    # LEAN candidate generation (vs minhash_lsh_pairs, which carries
+    # both full signatures through the band join for its est_jaccard /
+    # first-shared-band logic): verification recomputes the EXACT
+    # jaccard anyway, so candidates only need distinct (id_a, id_b).
+    # The banded frame here is (id, band, bucket) — ~30 bytes/row
+    # instead of ~8 * n_hashes — which matters once the geometry is
+    # threshold-derived (48 bands at t=0.5); the dropDuplicates
+    # shuffle runs over candidate PAIRS, tiny at real-world dup rates.
+    sig = _minhash_sig_frame(df, n_hashes, n, id_col, text_col)
+    banded = sig.select(
+        "id", F.explode(_band_structs(n_hashes, bands)).alias("b")
+    ).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+    )
+    ca = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    cb = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    cand = (
+        ca.join(cb, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     toks = df.select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks")
     )

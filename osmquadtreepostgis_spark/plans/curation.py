@@ -58,9 +58,10 @@ def curate_corpus(
     jaccard_threshold: float = 0.5,
     shingle_n: int = 3,
     materialize: bool = True,
+    barrier: str = "local",
     pair_mode: str = "exact",
-    n_hashes: int = 16,
-    bands: int = 4,
+    n_hashes: int | None = None,
+    bands: int | None = None,
 ) -> DataFrame:
     """One-pass curation audit over ``docs`` (see module docstring).
 
@@ -73,18 +74,48 @@ def curate_corpus(
       candidates via the MinHash band shuffle and verifies them with
       exact Jaccard, so precision is exact and only recall is
       probabilistic (a true pair sharing no band is missed with
-      probability (1-t^r)^b).
+      probability (1-t^r)^b).  With ``n_hashes``/``bands`` left None
+      the geometry is derived from ``jaccard_threshold`` via
+      :func:`..operators.dedup.minhash_geometry` (miss < 1e-6 at the
+      threshold) — a fixed small geometry silently loses borderline
+      pairs (ADVICE r4).
 
-    ``materialize`` cuts lineage (``localCheckpoint``) after the
-    rule stage and after the incremental stage.  The dedup machinery
-    downstream deliberately re-executes its input per join branch
-    (collect_list defeats ReuseExchange — see set_jaccard_pairs);
-    without a barrier that re-execution compounds through the
-    composed stages and re-runs the per-doc repetition HOFs many
-    times over (measured 654 s -> ~25 s at sf0.1).  On a cluster
-    point ``sparkContext.setCheckpointDir`` at durable storage and
-    swap for ``checkpoint``/persist-to-disk if the audit frame
-    exceeds executor memory."""
+    ``materialize``/``barrier`` cut lineage after the rule stage and
+    after the incremental stage.  The dedup machinery downstream
+    deliberately re-executes its input per join branch (collect_list
+    defeats ReuseExchange — see set_jaccard_pairs); without a barrier
+    that re-execution compounds through the composed stages and
+    re-runs the per-doc repetition HOFs many times over (measured
+    654 s -> ~25 s at sf0.1).  ``barrier`` modes (all produce the
+    IDENTICAL audit frame — pinned by tests/test_curation.py):
+
+    * ``"local"`` (default) — ``localCheckpoint``: executor-memory
+      blocks, fast, NOT durable; a lost executor forces full
+      recompute.  Right for single-node / short jobs.
+    * ``"durable"`` — ``checkpoint`` to
+      ``sparkContext.setCheckpointDir`` storage (HDFS/S3 on a
+      cluster): survives executor loss; the mode a 1000-executor run
+      wants.  Raises up front if no checkpoint dir is configured.
+    * ``materialize=False`` — no barrier at all (tiny inputs,
+      plan-inspection).
+    """
+    if barrier not in ("local", "durable"):
+        raise ValueError(f"barrier must be 'local' or 'durable', got {barrier!r}")
+    if materialize and barrier == "durable":
+        sc = docs.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "barrier='durable' needs sparkContext.setCheckpointDir(...) "
+                "pointed at durable storage"
+            )
+
+    def cut(df: DataFrame) -> DataFrame:
+        if not materialize:
+            return df
+        if barrier == "durable":
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     q = quality_filter(docs, min_words=min_words, text_col=text_col)
     audited = q.select(
         id_col,
@@ -95,8 +126,7 @@ def curate_corpus(
             & (dup_ngram_frac(text_col, 2) <= max_dup_2gram_frac)
         ).alias("keep_repetition"),
     )
-    if materialize:
-        audited = audited.localCheckpoint(eager=True)
+    audited = cut(audited)
     if seen is not None:
         inc = dedup_against(
             audited.filter(F.col("keep_quality") & F.col("keep_repetition")),
@@ -118,8 +148,7 @@ def curate_corpus(
             "keep_not_seen",
             F.col("keep_quality") & F.col("keep_repetition"),
         )
-    if materialize:
-        audited = audited.localCheckpoint(eager=True)
+    audited = cut(audited)
     survivors = audited.filter(
         F.col("keep_quality") & F.col("keep_repetition") & F.col("keep_not_seen")
     ).select(id_col, text_col)

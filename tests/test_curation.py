@@ -109,3 +109,82 @@ def test_minhash_verified_pairs_subset_of_exact(spark):
     assert mh  # non-vacuous
     for k, v in mh.items():
         assert k in exact and exact[k] == v, k
+
+
+def test_minhash_geometry_sizes_from_threshold():
+    """The derived geometry keeps miss probability at the configured
+    threshold below target (ADVICE r4: a fixed 16/4 geometry misses a
+    t=0.5 pair with p~0.77)."""
+    from osmquadtreepostgis_spark.operators.dedup import minhash_geometry
+
+    for t in (0.3, 0.5, 0.8, 0.9):
+        n_hashes, bands = minhash_geometry(t)
+        r = n_hashes // bands
+        miss = (1.0 - t**r) ** bands
+        assert miss < 1e-6, (t, n_hashes, bands, miss)
+    # monotone: higher threshold needs fewer bands
+    assert minhash_geometry(0.9)[1] < minhash_geometry(0.5)[1]
+    with pytest.raises(ValueError):
+        minhash_geometry(0.0)
+
+
+def test_minhash_verified_default_geometry_recalls_borderline_pair(spark):
+    """A true pair at EXACTLY the threshold Jaccard is recalled by the
+    derived default geometry (the old fixed 16/4 default missed it
+    77 % of the time at t=0.5)."""
+    from osmquadtreepostgis_spark.operators.dedup import minhash_verified_pairs
+
+    # 14 tokens each: a shared 10-token block then a 4-token distinct
+    # tail -> 12 3-gram shingles per doc, 8 shared (those fully inside
+    # the block), 4 unique per doc: J = 8/16 = 0.5 exactly.
+    shared = [f"s{i}" for i in range(10)]
+    a_text = " ".join(shared + ["ax", "ay", "az", "aw"])
+    b_text = " ".join(shared + ["bx", "by", "bz", "bw"])
+    docs = spark.createDataFrame(
+        [(1, a_text), (2, b_text)], "doc_id long, text string"
+    )
+    rows = minhash_verified_pairs(docs, threshold=0.5).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["jaccard"] == 0.5, r["jaccard"]
+
+
+def test_durable_barrier_requires_checkpoint_dir(spark):
+    """Fail fast at plan-build time, not after minutes of work.
+    (Must run before any test that sets the session's checkpoint dir.)"""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    if spark.sparkContext.getCheckpointDir() is not None:
+        pytest.skip("checkpoint dir already set by an earlier test")
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        curate_corpus(docs, barrier="durable")
+
+
+def test_barrier_modes_produce_identical_audit(spark, tmp_path, audit):
+    """barrier='local' (the fixture), barrier='durable', and no
+    barrier at all produce the identical audit frame (VERDICT r4 #3 —
+    the barrier is a lineage/perf device, never a semantics one)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kw = dict(
+        seen=docs.filter(F.col("doc_id") < 100),
+    )
+    base = audit.sort_values("doc_id", ignore_index=True)
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    durable = (
+        curate_corpus(docs.filter(F.col("doc_id") >= 100), barrier="durable", **kw)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert base.equals(durable)
+    nobarrier = (
+        curate_corpus(docs.filter(F.col("doc_id") >= 100), materialize=False, **kw)
+        .toPandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert base.equals(nobarrier)
+
+
+def test_bad_barrier_value_raises(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with pytest.raises(ValueError, match="barrier"):
+        curate_corpus(docs, barrier="ram")

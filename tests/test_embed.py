@@ -153,3 +153,82 @@ def test_hyperplane_buckets_group_similar_vectors(spark):
     global_mean = S[off].mean()
     assert same.any()
     assert within > global_mean + 0.05, (within, global_mean)
+
+
+def test_hyperplane_bucket_null_and_dim_guard(spark):
+    """NULL embedding -> NULL bucket in BOTH engines (hash_embeddings
+    emits NULL for null text; composing must not abort or silently
+    collapse into bucket 0 — ADVICE r4); a non-null wrong-dim array
+    raises in BOTH engines."""
+    import duckdb
+
+    from osmquadtreepostgis_spark.functions.embed import (
+        hyperplane_bucket,
+        sql_hyperplane_bucket,
+    )
+
+    ok = [0.5] * 64
+    df = spark.createDataFrame(
+        [(1, ok), (2, None)], "id long, embedding array<float>"
+    )
+    got = {
+        r["id"]: r["b"]
+        for r in df.select("id", hyperplane_bucket("embedding").alias("b")).collect()
+    }
+    assert got[2] is None
+    assert got[1] is not None
+    con = duckdb.connect()
+    expr = sql_hyperplane_bucket("embedding")
+    want = dict(
+        con.sql(
+            "SELECT id, " + expr + " FROM (VALUES "
+            "(1, [" + ",".join(["0.5"] * 64) + "]), "
+            "(2, NULL)) t(id, embedding)"
+        ).fetchall()
+    )
+    assert want[2] is None
+    assert want[1] == got[1]
+    # wrong-dim: both engines raise, neither returns bucket 0
+    bad = spark.createDataFrame([(3, [1.0, 2.0])], "id long, embedding array<float>")
+    with pytest.raises(Exception, match="expected dim=64, got 2"):
+        bad.select(hyperplane_bucket("embedding")).collect()
+    with pytest.raises(Exception, match="expected dim=64, got 2"):
+        con.sql("SELECT " + expr + " FROM (VALUES ([1.0, 2.0])) t(embedding)").fetchall()
+
+
+def test_diverse_sample_degenerate_single_bucket_skew(spark):
+    """Adversarial diversity-sampling input (VERDICT r4 #7): EVERY
+    embedding identical -> all rows share one hyperplane bucket. The
+    per-bucket cap must still return the exact top-n (== unsalted
+    reference) with the degenerate bucket split across salt
+    sub-groups, not one task."""
+    from pyspark.sql import Window
+
+    from osmquadtreepostgis_spark.functions.embed import hyperplane_bucket
+    from osmquadtreepostgis_spark.operators.corpus import cap_per_key
+
+    vec = [0.25] * 64
+    df = spark.createDataFrame(
+        [(i, vec, float((i * 13) % 101)) for i in range(1000)],
+        "vec_id long, embedding array<float>, quality double",
+    )
+    b = df.select("vec_id", "quality", hyperplane_bucket("embedding").alias("bucket"))
+    assert b.select("bucket").distinct().count() == 1
+    order = [(-F.col("quality")).alias("nq"), F.col("vec_id").alias("i")]
+    got = {
+        r["vec_id"]: r["rank"]
+        for r in cap_per_key(b, "bucket", order, n=10, salt_buckets=16).collect()
+    }
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("quality").desc(), F.col("vec_id").asc()
+    )
+    want = {
+        r["vec_id"]: r["rank"]
+        for r in b.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .collect()
+    }
+    assert got == want and len(got) == 10
+    ordk = F.struct((-F.col("quality")).alias("nq"), F.col("vec_id").alias("i"))
+    salts = b.select(F.pmod(F.xxhash64(ordk), F.lit(16)).alias("s")).distinct().count()
+    assert salts >= 12, salts
