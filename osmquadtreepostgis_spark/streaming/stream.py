@@ -31,6 +31,7 @@ def stream_pages_flagship(
     pages_dir: str,
     out_dir: str,
     max_files_per_trigger: int = 1,
+    on_batch_complete=None,
 ) -> DataFrame:
     """The flagship (mine -> encode -> PIP -> tile) as an INCREMENTAL
     streaming job over a directory of pages parquet files — the
@@ -48,6 +49,14 @@ def stream_pages_flagship(
     a killed stream restarted over the same dirs skips completed
     batches and safely rewrites the in-flight one. Returns the final
     exact rollup (sum of partials; counts are additive across batches).
+
+    ``on_batch_complete(batch_id)``, if given, runs after the batch's
+    partials are durably written but BEFORE the checkpoint commit is
+    recorded — i.e. inside the at-least-once window. An exception
+    raised there kills the query mid-batch exactly where a real crash
+    between write and commit lands (the chaos test in
+    tests/test_streaming.py injects one); it also serves as a
+    per-batch metrics hook.
     """
     from ..operators.mine import mine_coordinate_mentions
     from ..operators.pip import PolygonIndex, encode_pip_tile
@@ -77,6 +86,8 @@ def stream_pages_flagship(
             .partitionBy("batch_id")
             .parquet(data_dir)
         )
+        if on_batch_complete is not None:
+            on_batch_complete(batch_id)
 
     q = (
         src.writeStream.foreachBatch(batch_fn)

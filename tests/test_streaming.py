@@ -2,6 +2,7 @@
 sessionization == batch sessionization."""
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from osmquadtreepostgis_spark.streaming.stream import (
@@ -231,3 +232,58 @@ def test_read_rollup_as_of_snapshots(spark, tmp_path):
     n0 = files_read(spark.read.parquet(out + "/partials").filter(F.col("batch_id") <= 0))
     nall = files_read(spark.read.parquet(out + "/partials"))
     assert n0 < nall, (n0, nall)
+
+
+def test_stream_kill_mid_batch_then_restart_is_exactly_once(spark, tmp_path):
+    """Chaos test (VERDICT r4 #4): the query is KILLED from inside the
+    batch function after the partials write but before the checkpoint
+    commit — the real crash window, not a post-hoc commit-file edit.
+    The restarted stream must replay that batch, dynamic-partition-
+    OVERWRITE its partials (not append a second copy), finish the
+    remaining batches, and produce exactly the batch flagship's
+    rollup."""
+    import glob
+
+    from osmquadtreepostgis_spark.plans.pipeline import pages_pipeline
+    from osmquadtreepostgis_spark.sources.pages import pages
+    from osmquadtreepostgis_spark.streaming.stream import stream_pages_flagship
+
+    src_dir = str(tmp_path / "pages_in")
+    pages(spark, 30_000, partitions=3).write.parquet(src_dir)
+    out = str(tmp_path / "stream_out")
+
+    killed = []
+
+    def bomb(batch_id: int) -> None:
+        if batch_id == 1 and not killed:
+            killed.append(batch_id)
+            raise RuntimeError("chaos: killed after write, before commit")
+
+    with pytest.raises(Exception, match="chaos"):
+        stream_pages_flagship(spark, src_dir, out, on_batch_complete=bomb)
+    assert killed == [1]
+    # the crash left batch 1's data on disk with NO commit record
+    import os
+
+    written = {
+        int(p.split("batch_id=")[1])
+        for p in glob.glob(out + "/partials/batch_id=*")
+    }
+    assert 1 in written
+    commits = {
+        int(f)
+        for f in os.listdir(out + "/_stream_checkpoint/commits")
+        if not f.startswith(".")
+    }
+    assert 1 not in commits and 0 in commits
+
+    got = stream_pages_flagship(spark, src_dir, out)
+    want = pages_pipeline(spark.read.parquet(src_dir)).select(
+        "tile", "poly_id", "n_mentions"
+    )
+    g = sorted(map(tuple, got.collect()))
+    assert g == sorted(map(tuple, want.collect())) and len(g) > 0
+    n_batches = (
+        spark.read.parquet(out + "/partials").select("batch_id").distinct().count()
+    )
+    assert n_batches == 3
