@@ -17,6 +17,7 @@ from osmquadtreepostgis_spark import quadtree as qt
 from osmquadtreepostgis_spark.functions import text as TX
 from osmquadtreepostgis_spark.functions.cells import cell_encode_udf, cell_parent_col
 from osmquadtreepostgis_spark.functions.sketches import (
+    MINHASH_DOM,
     MINHASH_P,
     minhash_params,
     sql_md5_int64,
@@ -1501,7 +1502,12 @@ def _sql_tri(expr: str) -> str:
 def _sig_sql() -> str:
     """Per-doc MinHash signature columns mh0..mh15 over 3-gram shingles."""
     sh = sql_word_shingles("text", 3)
-    hashed = f"list_transform({sh}, s -> {sql_md5_int64('s')})"
+    # reduced to the 30-bit permutation domain exactly like the Spark
+    # side (sketches.MINHASH_DOM) — multipliers are < 2^31 so the
+    # product stays int64-safe in DuckDB too
+    hashed = (
+        f"list_transform({sh}, s -> {sql_md5_int64('s')} % {MINHASH_DOM})"
+    )
     cols = []
     for i, (a, b) in enumerate(minhash_params(16)):
         cols.append(

@@ -21,18 +21,43 @@ __all__ = [
     "sql_md5_int64",
     "sql_word_shingles",
     "MINHASH_P",
+    "MINHASH_DOM",
     "minhash_params",
 ]
 
-# Mersenne prime 2^61 - 1: (a*h + b) stays under 2^63 for h < 2^61
-# only if a is small; we keep h in [0, 2^60) (15 hex chars) and a < 8.
-MINHASH_P = (1 << 61) - 1
+# Mersenne prime 2^31 - 1: the permutation FIELD. The 60-bit md5 hash
+# is reduced into [0, P) (MINHASH_DOM == MINHASH_P marks that
+# reduction), a and b live in the field, and a*h + b < 2^62 is
+# int64-safe in both Spark and DuckDB.
+#
+# WHY the modulus must be near the domain, not far above it: with
+# h < 2^30 under the previous P = 2^61-1, a*h (< 2^61) wrapped mod P
+# at most ONCE, so x -> (a*x + b) mod P was ORDER-PRESERVING in x —
+# every "permutation" picked the same argmin shingle and the whole
+# family produced ONE effective permutation (signature agreement
+# between docs was all-or-nothing 0/98 vs 98/98, measured; LSH recall
+# collapsed at any geometry). With h, a < P = 2^31-1 the product
+# wraps ~a times: a genuine Carter-Wegman permutation of the field.
+# Min-collision noise from the 2^31 domain (~|S|^2/2^32 per doc) is
+# negligible, and every near-dup operator verifies candidates with
+# exact Jaccard anyway.
+MINHASH_P = (1 << 31) - 1
+MINHASH_DOM = MINHASH_P
 
 
 def minhash_params(n: int) -> list[tuple[int, int]]:
-    """Deterministic (a, b) pairs, a in [1, 7] odd-ish small so that
-    a*h + b < 2^63 for h < 2^60."""
-    return [(1 + (i % 7), (i * i * 2654435761 + i + 1) % MINHASH_P) for i in range(n)]
+    """Deterministic (a, b) per permutation: a pseudo-random
+    multiplier in [1, P-1] and offset in [0, P), Weyl/Knuth-mixed
+    from the permutation index. Distinct multipliers per permutation
+    AND a modulus the products wrap richly around are BOTH required
+    for independent permutations — see the field-size comment above."""
+    out = []
+    for i in range(n):
+        mixed = (i * 2654435761 + 0x9E3779B9 + (i * i) * 40503) % (1 << 62)
+        a = 1 + mixed % (MINHASH_P - 1)  # [1, P-1]
+        b = (i * i * 2654435761 + i * 40503 + 1) % MINHASH_P
+        out.append((a, b))
+    return out
 
 
 def md5_int64(c: Column) -> Column:
@@ -89,8 +114,9 @@ def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
         shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
     )
     sigs = []
+    reduced = F.transform(hashed, lambda h: h % MINHASH_DOM)
     for a, b in minhash_params(n_hashes):
-        vals = F.transform(hashed, lambda h: (h * a + b) % MINHASH_P)
+        vals = F.transform(reduced, lambda h: (h * a + b) % MINHASH_P)
         sigs.append(
             F.coalesce(F.array_min(vals), F.lit(MINHASH_P)).alias(f"mh{len(sigs)}")
         )

@@ -453,6 +453,9 @@ def duplicate_spans(
     )
 
 
+from ..functions.sketches import MINHASH_DOM as _MH_DOM
+
+
 def _minhash_sig_frame(
     df: DataFrame, n_hashes: int, n: int, id_col: str, text_col: str
 ) -> DataFrame:
@@ -473,11 +476,14 @@ def _minhash_sig_frame(
         F.explode_outer(
             F.transform(
                 F.col("__sh"),
-                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+                # reduced to the 30-bit permutation domain ONCE here
+                # (not per permutation) — see sketches.MINHASH_DOM
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+                % _MH_DOM,
             )
         ).alias("__hv"),
     )
-    from ..functions.sketches import MINHASH_P, minhash_params
+    from ..functions.sketches import MINHASH_DOM, MINHASH_P, minhash_params
 
     mins = [
         F.coalesce(F.min((F.col("__hv") * a + b) % MINHASH_P), F.lit(MINHASH_P)).alias(
