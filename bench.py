@@ -104,16 +104,12 @@ def main() -> None:
             l for l in out.stdout.strip().splitlines() if l.startswith("{")
         ][-1]
         headline_confined = json.loads(line)
-        # Headline = the better of the two measured settings. Host
-        # noise strikes either setting in multi-second stalls (one
-        # mid-day suite saw confined-8 runs of [4.6..23.5] s while the
-        # same suite's local[32] hit 1.0M pages/s); taking the max of
-        # two INDEPENDENTLY measured configurations is robust to a bad
-        # draw in one without inventing numbers — both readings are
-        # always recorded below.
-        pages_per_sec = max(
-            headline_confined["pages_per_sec"], pages_per_sec_unconfined
-        )
+        # Headline = the confined-8 min-of-N, full stop (VERDICT r4
+        # #8: one pinned protocol, promoted from the r4 max-of-two).
+        # The unconfined local[32] reading stays recorded as the
+        # footnote field below; it is the fallback headline ONLY when
+        # taskset is unavailable and no confined reading exists.
+        pages_per_sec = headline_confined["pages_per_sec"]
     except Exception:
         pass  # no taskset / child failure -> unconfined fallback stands
     timings["pages_confined8_min5"] = round(time.perf_counter() - t0, 3)
@@ -237,9 +233,10 @@ def main() -> None:
                 "cpus": cpus,
                 "n_pages": n_pages,
                 "n_tiles": int(n_tiles),
-                # artifact of record: max(confined-8 min-of-7,
-                # unconfined32 min-of-3) — see BENCH/BASELINE.md
-                # "Headline methodology"
+                # artifact of record: taskset-confined 8-core min-of-5
+                # (the single pinned protocol — BENCH/BASELINE.md
+                # "Headline methodology"); unconfined32 only if no
+                # taskset
                 "pages_per_sec": pages_per_sec,
                 "headline_confined": headline_confined,
                 # footnote: unconfined local[32] min-of-3 (host-noise-
