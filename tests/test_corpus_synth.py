@@ -101,3 +101,33 @@ def test_exact_and_minhash_agree_on_synth_corpus(spark):
             assert pair in exact, pair
         else:
             assert pair not in exact, pair
+
+
+def test_lsh_recall_tracks_band_theory(spark):
+    """With a DELIBERATELY small geometry (8 hashes / 4 bands, r=2)
+    per-pair recall at Jaccard J is 1-(1-J^2)^4 ≈ 0.96 at the planted
+    J≈0.74 — so a few true pairs MUST be missed (geometry sensitivity
+    is real) while overall recall stays near theory. The broken
+    pre-r5 permutation family made agreement all-or-nothing per
+    cluster, failing both sides of this envelope. Deterministic:
+    fixed hash family, fixed corpus."""
+    from osmquadtreepostgis_spark.operators.dedup import (
+        minhash_verified_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = synth_documents(spark, 2_000, partitions=4)
+    exact = {
+        (r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, 0.5).collect()
+    }
+    small = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_verified_pairs(
+            docs, 0.5, n_hashes=8, bands=4
+        ).collect()
+    }
+    assert small <= exact  # verification keeps precision exact
+    recall = len(small) / len(exact)
+    # theory at J~0.74-0.84: 0.958-0.993 per pair; envelope leaves
+    # room for the planted J spread and finite-sample variation
+    assert 0.85 <= recall < 1.0, (recall, len(exact), len(small))
