@@ -1399,6 +1399,25 @@ def _shipped(fn):
     return wrapped
 
 
+def q_synth_dedup_pairs(spark, sf):
+    """MinHash-LSH candidate generation + exact verification
+    (operators/dedup.py:minhash_verified_pairs, threshold-derived
+    geometry) over the PLANTED near-dup corpus
+    (sources/corpus_synth.py) — the r5 hard-signal entry for the
+    fixed permutation family (functions/sketches.py:minhash_params):
+    the oracle REGENERATES the corpus independently in DuckDB
+    (sql_synth_documents, byte-identical closed-form LCG math) and
+    computes exact Jaccard pairs; the banded path must equal it
+    exactly (miss < 1e-6 at the threshold). Planted light dups sit at
+    J≈0.75 (true pairs), heavy at J≈0.14 (hard negatives)."""
+    from osmquadtreepostgis_spark.operators.dedup import minhash_verified_pairs
+    from osmquadtreepostgis_spark.sources.corpus_synth import synth_documents
+
+    return minhash_verified_pairs(
+        synth_documents(spark, 800, partitions=8), 0.5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # NOTE on ordering: the correctness driver samples the FIRST 50
@@ -1411,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diverse_sample": _shipped(q_diverse_sample),
         "pii_scrub": _shipped(q_pii_scrub),
         "multipolygon_chain": _shipped(q_multipolygon_chain),
+        "synth_dedup_pairs": _shipped(q_synth_dedup_pairs),
         "sql_surface_cells": _shipped(q_sql_surface_cells),
         "pip_points_in_boxes": _shipped(q_pip_points_in_boxes),
         "pip_shuffle_cover": _shipped(q_pip_shuffle_cover),
@@ -2528,4 +2548,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT rel_id, cast(1 as bigint),
                {rect_area('lon + 1.0', 'lat', 'lon + 1.2', 'lat + 0.2')}
         FROM base"""
+    from osmquadtreepostgis_spark.sources.corpus_synth import (
+        sql_synth_documents,
+    )
+
+    # exact-Jaccard pairs over the INDEPENDENTLY REGENERATED planted
+    # corpus — the banded+verified Spark path must match exactly
+    # (threshold-derived geometry: miss < 1e-6)
+    sql["synth_dedup_pairs"] = f"""
+        WITH sdocs AS ({sql_synth_documents(800)}),
+        sh AS (SELECT doc_id AS id, {sql_word_shingles('text', 3)} AS s
+               FROM sdocs),
+        sized AS (SELECT id, s, len(s) AS sz FROM sh),
+        ex AS (SELECT id, sz, unnest(s) AS tok FROM sized),
+        inter AS (
+          SELECT a.id AS id_a, b.id AS id_b, a.sz AS sa, b.sz AS sb,
+                 count(*) AS i
+          FROM ex a JOIN ex b ON a.tok = b.tok AND a.id < b.id
+          GROUP BY 1, 2, 3, 4)
+        SELECT id_a, id_b,
+               round(cast(i as double) / (sa + sb - i), 4) AS jaccard
+        FROM inter WHERE cast(i as double) / (sa + sb - i) >= 0.5"""
     return sql

@@ -43,7 +43,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-__all__ = ["synth_documents", "synth_dup_truth", "stage_synth_documents"]
+__all__ = [
+    "synth_documents",
+    "synth_dup_truth",
+    "stage_synth_documents",
+    "sql_synth_documents",
+]
 
 DOCS_SCHEMA = T.StructType(
     [
@@ -182,3 +187,47 @@ def stage_synth_documents(
         spark, n_docs, dup_frac=dup_frac, partitions=partitions
     ).write.mode("overwrite").parquet(path)
     return path
+
+
+def sql_synth_documents(
+    n_docs: int,
+    dup_frac: float = 0.25,
+    min_tokens: int = 40,
+    max_tokens: int = 120,
+    vocab: int = 50_000,
+) -> str:
+    """DuckDB twin of :func:`synth_documents` — a SELECT producing
+    (doc_id, text) byte-identical to the Spark generator, from the
+    SAME closed-form integer math (the generator is LCG mixing +
+    integer division only, so the corpus itself is oracle-checkable:
+    the driver's DuckDB gate can regenerate it independently)."""
+    n_base, _ = _split_counts(n_docs, dup_frac)
+    span = max_tokens - min_tokens + 1
+
+    def mix(expr: str, salt: int) -> str:
+        return (
+            f"((({expr}) % 2147483648) * 1103515245 + 12345 + "
+            f"{salt * 2654435761}) % 2147483648"
+        )
+
+    gen = f"(CASE WHEN i >= {n_base} THEN ({mix('i', 3)}) % {n_base} ELSE i END)"
+    return f"""
+        SELECT doc_id, array_to_string(toks, ' ') AS text FROM (
+          SELECT i AS doc_id,
+                 list_transform(range(0, L), j -> CASE
+                   WHEN ((j + 1) * m) // L > (j * m) // L
+                   THEN 'm' || cast(({mix('i * 1021 + j', 9)}) % {vocab} AS varchar)
+                   ELSE 'w' || cast(({mix('g * 1000003 + j', 5)}) % {vocab} AS varchar)
+                 END) AS toks
+          FROM (
+            SELECT i, g, L,
+                   CASE WHEN i >= {n_base} THEN
+                     CASE WHEN (i - {n_base}) % 2 = 0
+                          THEN greatest(1, L // 18) ELSE L // 4 END
+                   ELSE 0 END AS m
+            FROM (
+              SELECT i, g, {min_tokens} + ({mix('g', 4)}) % {span} AS L
+              FROM (SELECT i, {gen} AS g FROM range(0, {n_docs}) r(i))
+            )
+          )
+        )"""
