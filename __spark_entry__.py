@@ -641,6 +641,82 @@ def q_url_normalize(spark, sf):
     )
 
 
+def q_dedup_url(spark, sf):
+    """Canonical-URL exact dedup — the first stage of every
+    Common-Crawl-style recrawl pipeline (dedup before any content
+    machinery runs; reference analog: element-id dedup on re-import,
+    /root/reference/osmquadtreepostgis/__init__.py import path).
+
+    Three messy surface forms per planted group (uppercase host +
+    default port + tracking params + fragment; userinfo; already
+    clean) all normalize to the SAME canonical URL; survivor is the
+    deterministic min doc_id per key, with the duplicate count kept
+    for audit. Pure normalize→groupBy: one hash shuffle on the
+    canonical key, map-side partial aggregation — the exact shape that
+    holds at 10^12 rows."""
+    from osmquadtreepostgis_spark.functions.urls import normalize_url
+
+    d = _docs(spark, sf)
+    base = F.col("doc_id") % 149
+    k = (base % 37).cast("string")
+    b = base.cast("string")
+    a = (base % 7).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("HTTPS://Site"), k, F.lit(".Example.ORG:443/item/"),
+                b, F.lit("?utm_source=x&a="), a, F.lit("#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("https://user:pw@site"), k, F.lit(".example.org/item/"),
+                b, F.lit("?a="), a, F.lit("&fbclid=z"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://site"), k, F.lit(".example.org/item/"),
+                b, F.lit("?a="), a,
+            )
+        )
+    )
+    return (
+        d.select(F.col("doc_id"), normalize_url(url).alias("url_norm"))
+        .groupBy("url_norm")
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def _dedup_url_oracle() -> str:
+    url = (
+        "(CASE WHEN doc_id % 3 = 0 THEN "
+        "'HTTPS://Site' || cast((doc_id % 149) % 37 as varchar) || "
+        "'.Example.ORG:443/item/' || cast(doc_id % 149 as varchar) || "
+        "'?utm_source=x&a=' || cast((doc_id % 149) % 7 as varchar) || '#frag' "
+        "WHEN doc_id % 3 = 1 THEN "
+        "'https://user:pw@site' || cast((doc_id % 149) % 37 as varchar) || "
+        "'.example.org/item/' || cast(doc_id % 149 as varchar) || "
+        "'?a=' || cast((doc_id % 149) % 7 as varchar) || '&fbclid=z' "
+        "ELSE 'https://site' || cast((doc_id % 149) % 37 as varchar) || "
+        "'.example.org/item/' || cast(doc_id % 149 as varchar) || "
+        "'?a=' || cast((doc_id % 149) % 7 as varchar) END)"
+    )
+    from osmquadtreepostgis_spark.functions.urls import sql_normalize_url
+
+    return f"""
+        SELECT {sql_normalize_url(url)} AS url_norm,
+               min(doc_id) AS survivor_doc_id,
+               count(*) AS n_dups
+        FROM documents
+        GROUP BY 1"""
+
+
 def _psl_fixture_url():
     """Deterministic messy-host url per doc_id — ONE definition shared
     by q_domain_stats / q_domain_cap; the SQL twin is
@@ -868,6 +944,55 @@ def q_embed_topk(spark, sf):
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     )
     return KNN.ann_cosine_topk(emb, q, k=10).select("q_id", "vec_id", "rank")
+
+
+def q_embed_quantize(spark, sf):
+    """Int8 symmetric embedding quantization (the 4x shuffle/storage
+    shrinker applied before ANN indexing at corpus scale) with
+    integer-exact audit stats per vector: dequant scale in micro-units
+    plus sum / sum-of-squares / min / max of the quantized components.
+    Pure-Column transform+aggregate — no shuffle at all (narrow map),
+    which is exactly why it's the stage to run FIRST at 10^12 vectors.
+    Both engines execute the identical IEEE double pipeline
+    (cast -> *127 -> /amax -> round-half-away) so the oracle is exact,
+    not approximate."""
+    from osmquadtreepostgis_spark.functions.embed import (
+        quantize_embedding_int8,
+        quantize_scale_micro,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    q = quantize_embedding_int8("embedding")
+    zero = F.lit(0).cast("long")
+    return emb.select(
+        "vec_id",
+        quantize_scale_micro("embedding").alias("scale_micro"),
+        F.aggregate(q, zero, lambda a, v: a + v).alias("q_sum"),
+        F.aggregate(q, zero, lambda a, v: a + v * v).alias("q_sumsq"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+    )
+
+
+def _embed_quantize_oracle() -> str:
+    from osmquadtreepostgis_spark.functions.embed import (
+        sql_quantize_embedding_int8,
+        sql_quantize_scale_micro,
+    )
+
+    q = sql_quantize_embedding_int8("embedding")
+    return f"""
+        WITH qz AS (SELECT vec_id,
+                           {sql_quantize_scale_micro('embedding')} AS scale_micro,
+                           {q} AS q
+                    FROM embeddings)
+        SELECT vec_id, scale_micro,
+               cast(list_sum(q) as bigint) AS q_sum,
+               cast(list_sum(list_transform(q, v -> v * v)) as bigint)
+                   AS q_sumsq,
+               cast(list_min(q) as bigint) AS q_min,
+               cast(list_max(q) as bigint) AS q_max
+        FROM qz"""
 
 
 def q_knn_label_eval(spark, sf):
@@ -1431,6 +1556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _shipped(q_pii_scrub),
         "multipolygon_chain": _shipped(q_multipolygon_chain),
         "synth_dedup_pairs": _shipped(q_synth_dedup_pairs),
+        "dedup_url": _shipped(q_dedup_url),
+        "embed_quantize": _shipped(q_embed_quantize),
         "sql_surface_cells": _shipped(q_sql_surface_cells),
         "pip_points_in_boxes": _shipped(q_pip_points_in_boxes),
         "pip_shuffle_cover": _shipped(q_pip_shuffle_cover),
@@ -2170,6 +2297,8 @@ def oracle_sql() -> dict[str, str]:
             FROM inter WHERE cast(i as double) / (sa + sb - i) >= 0.5""",
         "repetition_signals": _repetition_oracle(),
         "url_normalize": _url_normalize_oracle(),
+        "dedup_url": _dedup_url_oracle(),
+        "embed_quantize": _embed_quantize_oracle(),
         "domain_stats": _domain_stats_oracle(),
         "domain_cap": _domain_cap_oracle(),
         "curate_corpus": _curate_oracle(),

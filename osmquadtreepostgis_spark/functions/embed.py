@@ -286,3 +286,59 @@ def sql_hyperplane_bucket(expr: str, n_bits: int = 8, dim: int = 64) -> str:
         f"|| len({expr})) "
         f"ELSE {bucket} END)"
     )
+
+
+# --- int8 symmetric quantization (embedding compression) -------------------
+
+def quantize_embedding_int8(emb) -> Column:
+    """Per-vector symmetric int8 quantization of a float embedding:
+    ``q_i = round(x_i * 127 / max(|x|))``, the standard 4x shuffle /
+    storage shrinker applied before ANN indexing at corpus scale (the
+    signature/band stages here move ``dim`` bytes per vector instead
+    of ``4*dim``). Pure-Column (whole-stage codegen); all-zero vectors
+    quantize to all zeros (no division by zero, engine-dependent
+    inf/NaN never reached); NULL embeddings propagate to NULL.
+
+    Returns ``array<long>`` with every element in [-127, 127] — kept
+    wide for downstream integer dot products (an int8 GEMM casts up
+    anyway); cast to ``array<tinyint>`` at the storage boundary.
+    """
+    c = F.col(emb) if isinstance(emb, str) else emb
+    xd = F.transform(c, lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(xd, lambda x: F.abs(x)))
+    return (
+        F.when(c.isNull(), F.lit(None).cast("array<long>"))
+        .when(amax == 0.0, F.transform(xd, lambda x: F.lit(0).cast("long")))
+        .otherwise(
+            F.transform(xd, lambda x: F.round(x * 127.0 / amax).cast("long"))
+        )
+    )
+
+
+def quantize_scale_micro(emb) -> Column:
+    """``round(max(|x|) * 1e6)`` as bigint — the per-vector dequant
+    scale pinned to integer micro-units so both engines agree exactly."""
+    c = F.col(emb) if isinstance(emb, str) else emb
+    amax = F.array_max(F.transform(c, lambda x: F.abs(x.cast("double"))))
+    return F.round(amax * 1e6).cast("long")
+
+
+def sql_quantize_embedding_int8(expr: str) -> str:
+    """DuckDB twin of :func:`quantize_embedding_int8` — identical IEEE
+    double pipeline (cast -> *127 -> /amax -> round-half-away), same
+    all-zero and NULL edge semantics."""
+    amax = f"list_max(list_transform({expr}, x -> abs(cast(x as double))))"
+    q = (
+        f"list_transform({expr}, "
+        f"x -> cast(round(cast(x as double) * 127 / ({amax})) as bigint))"
+    )
+    zeros = f"list_transform({expr}, x -> cast(0 as bigint))"
+    return (
+        f"(CASE WHEN ({expr}) IS NULL THEN NULL "
+        f"WHEN ({amax}) = 0 THEN {zeros} ELSE {q} END)"
+    )
+
+
+def sql_quantize_scale_micro(expr: str) -> str:
+    amax = f"list_max(list_transform({expr}, x -> abs(cast(x as double))))"
+    return f"cast(round(({amax}) * 1000000) as bigint)"
