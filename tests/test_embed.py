@@ -232,3 +232,53 @@ def test_diverse_sample_degenerate_single_bucket_skew(spark):
     ordk = F.struct((-F.col("quality")).alias("nq"), F.col("vec_id").alias("i"))
     salts = b.select(F.pmod(F.xxhash64(ordk), F.lit(16)).alias("s")).distinct().count()
     assert salts >= 12, salts
+
+
+def test_quantize_int8_edges_and_cross_engine(spark):
+    """int8 quantization edge semantics agree across engines: NULL
+    embedding -> NULL, all-zero vector -> all zeros (never inf/NaN
+    from the amax division), values clamped by construction to
+    [-127, 127] with at least one component hitting ±127 for any
+    non-zero vector, and round-half-away ties identical in Spark and
+    DuckDB (the testdata oracle never exercises these edges)."""
+    import duckdb
+
+    from osmquadtreepostgis_spark.functions.embed import (
+        quantize_embedding_int8,
+        sql_quantize_embedding_int8,
+    )
+
+    rows = [
+        (1, [1.0, -2.0, 0.5, 4.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, None),
+        # tie case: 0.5 * 127 / 127 = 0.5 exactly -> rounds away to 1
+        (4, [127.0, 0.5, -0.5, -127.0]),
+    ]
+    df = spark.createDataFrame(rows, "id long, embedding array<float>")
+    got = {
+        r["id"]: r["q"]
+        for r in df.select(
+            "id", quantize_embedding_int8("embedding").alias("q")
+        ).collect()
+    }
+    assert got[3] is None
+    assert got[2] == [0, 0, 0, 0]
+    assert max(abs(v) for v in got[1]) == 127
+    assert got[4][0] == 127 and got[4][3] == -127
+    assert got[4][1] == 1 and got[4][2] == -1  # half-away ties
+
+    con = duckdb.connect()
+    expr = sql_quantize_embedding_int8("embedding")
+    want = dict(
+        con.sql(
+            "SELECT id, " + expr + " FROM (VALUES "
+            "(1, [1.0, -2.0, 0.5, 4.0]::FLOAT[]), "
+            "(2, [0.0, 0.0, 0.0, 0.0]::FLOAT[]), "
+            "(3, NULL::FLOAT[]), "
+            "(4, [127.0, 0.5, -0.5, -127.0]::FLOAT[])) t(id, embedding)"
+        ).fetchall()
+    )
+    for k in (1, 2, 4):
+        assert list(want[k]) == got[k], (k, want[k], got[k])
+    assert want[3] is None
