@@ -919,6 +919,21 @@ def q_dedup_spans(spark, sf):
     return DD.duplicate_spans(_docs(spark, sf), n=5)
 
 
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination (GPT-3 Appendix C shape): docs 400+
+    are the held-out eval set, docs <400 the training corpus; a train
+    doc is flagged when it shares any 5-gram with any eval doc, with
+    interval-union token coverage and an overlap fraction. The eval
+    gram set is broadcast — the 100 TB train side never shuffles until
+    the per-doc rollup of hit positions."""
+    docs = _docs(spark, sf)
+    return DD.decontaminate(
+        docs.filter(F.col("doc_id") < 400),
+        docs.filter(F.col("doc_id") >= 400),
+        n=5,
+    )
+
+
 def q_dedup_minhash_lsh(spark, sf):
     return DD.minhash_lsh_pairs(_docs(spark, sf), n_hashes=16, bands=4, n=3)
 
@@ -1558,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synth_dedup_pairs": _shipped(q_synth_dedup_pairs),
         "dedup_url": _shipped(q_dedup_url),
         "embed_quantize": _shipped(q_embed_quantize),
+        "decontaminate": _shipped(q_decontaminate),
         "sql_surface_cells": _shipped(q_sql_surface_cells),
         "pip_points_in_boxes": _shipped(q_pip_points_in_boxes),
         "pip_shuffle_cover": _shipped(q_pip_shuffle_cover),
@@ -2282,6 +2298,50 @@ def oracle_sql() -> dict[str, str]:
                    max(pos) + 4 AS span_end,
                    max(pos) + 4 - min(pos) + 1 AS n_tokens
             FROM isl GROUP BY doc_id, island""",
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            eg AS (
+              SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS g
+              FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
+              WHERE doc_id >= 400 AND len(t) >= 5),
+            grams AS (
+              SELECT doc_id, cast(i as bigint) AS pos,
+                     array_to_string(t[i:i+4], ' ') AS g
+              FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
+              WHERE doc_id < 400 AND len(t) >= 5),
+            hit AS (SELECT doc_id, pos FROM grams JOIN eg USING (g)),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(CASE WHEN prev IS NULL OR pos > prev + 5
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM (SELECT doc_id, pos,
+                           lag(pos) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS prev
+                    FROM hit)),
+            sp AS (
+              SELECT doc_id, island, count(*) AS nh,
+                     max(pos) + 4 - min(pos) + 1 AS cov
+              FROM isl GROUP BY doc_id, island),
+            pd AS (
+              SELECT doc_id, cast(sum(nh) as bigint) AS n_hit_grams,
+                     cast(sum(cov) as bigint) AS contaminated_tokens
+              FROM sp GROUP BY doc_id),
+            base AS (
+              SELECT doc_id, cast(len(t) as bigint) AS total_tokens
+              FROM toks WHERE doc_id < 400)
+            SELECT b.doc_id,
+                   coalesce(pd.n_hit_grams, 0) AS n_hit_grams,
+                   coalesce(pd.contaminated_tokens, 0)
+                     AS contaminated_tokens,
+                   b.total_tokens,
+                   round(cast(coalesce(pd.contaminated_tokens, 0) as double)
+                         / greatest(b.total_tokens, 1), 4)
+                     AS contaminated_frac,
+                   (round(cast(coalesce(pd.contaminated_tokens, 0) as double)
+                          / greatest(b.total_tokens, 1), 4) <= 0.0) AS keep
+            FROM base b LEFT JOIN pd USING (doc_id)""",
         "dedup_ngram_jaccard": f"""
             WITH sh AS (SELECT doc_id AS id, {sql_word_shingles('text', 3)} AS s
                         FROM documents),

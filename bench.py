@@ -145,6 +145,11 @@ def main() -> None:
         "dedup_clusters",
         "dedup_incremental",
         "dedup_incremental_minhash",
+        "decontaminate",
+        "dedup_url",
+        "embed_quantize",
+        "multipolygon_chain",
+        "synth_dedup_pairs",
         "curate_corpus",
         "curate_corpus_minhash",
         "corpus_stats",

@@ -38,6 +38,7 @@ __all__ = [
     "minhash_verified_join",
     "simhash_pairs",
     "duplicate_spans",
+    "decontaminate",
 ]
 
 
@@ -450,6 +451,117 @@ def duplicate_spans(
             "span_end",
             (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
         )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    max_overlap_frac: float = 0.0,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag every TRAIN document that shares
+    at least one ``n``-gram (whitespace tokens) with ANY document in the
+    EVAL set — the standard guard against test-set leakage into
+    training corpora (GPT-3 Appendix C / PaLM use 8-13 gram overlap;
+    this is the same op parameterized on ``n``).
+
+    Output, one row per train doc:
+    ``(doc_id, n_hit_grams, contaminated_tokens, total_tokens,
+    contaminated_frac, keep)`` where ``n_hit_grams`` counts train-side
+    gram POSITIONS whose gram occurs anywhere in the eval set,
+    ``contaminated_tokens`` is the interval-union token coverage of
+    those positions (same island merge as :func:`duplicate_spans`),
+    ``contaminated_frac`` is coverage / doc tokens rounded to 4 dp, and
+    ``keep`` = frac <= ``max_overlap_frac`` (default 0: any overlap
+    drops the doc). Docs shorter than ``n`` tokens have no grams and
+    are always kept.
+
+    Scale shape: the eval side reduces to its DISTINCT gram set —
+    benchmark suites are tiny next to a training corpus (thousands of
+    docs vs billions), so with ``broadcast_eval=True`` (default) the
+    gram set is broadcast and the probe is a map-side semi-join: the
+    100 TB train side is never shuffled at all until the per-doc
+    groupBy, which carries only hit positions (zero rows for clean
+    docs). Set ``broadcast_eval=False`` if the eval set is itself huge
+    — the probe becomes a shuffle equi-join on the gram key, still
+    skew-safe (one hot stop-phrase gram splits under AQE; no windows
+    keyed by gram). No per-row Python anywhere.
+    """
+    def _pos_grams(d: DataFrame, tcol: str, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col).alias("id")] if with_id else []
+        toks = d.select(*cols, F.split(F.col(tcol), " ").alias("__toks"))
+        k = F.size("__toks")
+        idx = F.when(k >= n, F.sequence(F.lit(1), k - (n - 1))).otherwise(
+            F.array().cast("array<int>")
+        )
+        grams = F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.concat_ws(
+                    " ", *[F.element_at("__toks", i + j) for j in range(n)]
+                ).alias("g"),
+            ),
+        )
+        out = toks.select(*(["id"] if with_id else []), F.explode(grams).alias("t"))
+        keep_cols = (["id"] if with_id else []) + [
+            F.col("t.pos").alias("pos"),
+            F.col("t.g").alias("g"),
+        ]
+        return out.select(*keep_cols)
+
+    eval_grams = _pos_grams(eval_df, eval_text_col, with_id=False).select(
+        "g"
+    ).distinct()
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    hits = _pos_grams(train, text_col, with_id=True).join(
+        eval_grams, "g", "left_semi"
+    )
+
+    wdoc = Window.partitionBy("id").orderBy("pos")
+    new_island = F.when(
+        F.lag("pos").over(wdoc).isNull()
+        | (F.col("pos") > F.lag("pos").over(wdoc) + n),
+        1,
+    ).otherwise(0)
+    spans = (
+        hits.withColumn("__island", F.sum(new_island).over(wdoc))
+        .groupBy("id", "__island")
+        .agg(
+            F.count(F.lit(1)).alias("__nh"),
+            (F.max("pos") + (n - 1) - F.min("pos") + 1).alias("__cov"),
+        )
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.sum("__nh").alias("n_hit_grams"),
+        F.sum("__cov").alias("contaminated_tokens"),
+    )
+    base = train.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("total_tokens"),
+    )
+    return (
+        base.join(per_doc.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
+            F.coalesce("contaminated_tokens", F.lit(0))
+            .cast("long")
+            .alias("contaminated_tokens"),
+            "total_tokens",
+            F.round(
+                F.coalesce("contaminated_tokens", F.lit(0))
+                / F.greatest("total_tokens", F.lit(1)),
+                4,
+            ).alias("contaminated_frac"),
+        )
+        .withColumn("keep", F.col("contaminated_frac") <= max_overlap_frac)
     )
 
 
