@@ -26,6 +26,7 @@ from osmquadtreepostgis_spark.functions.sketches import (
 from osmquadtreepostgis_spark.operators import dedup as DD
 from osmquadtreepostgis_spark.operators import knn as KNN
 from osmquadtreepostgis_spark.operators import routing as RT
+from osmquadtreepostgis_spark.operators import tfidf as TFIDF
 from osmquadtreepostgis_spark.operators.mine import mine_gazetteer_terms
 from osmquadtreepostgis_spark.operators.pip import (
     PolygonIndex,
@@ -1539,6 +1540,30 @@ def _shipped(fn):
     return wrapped
 
 
+def q_tfidf_keywords(spark, sf):
+    """Per-document TF-IDF top-5 keyword extraction
+    (operators/tfidf.py:tfidf_topk): explode -> map-side-combined
+    (doc_id, term) counts -> vocabulary-sized df join -> broadcast
+    corpus total -> bounded per-doc window. The text-corpus analog of
+    the reference's tag-value frequency surfaces
+    (/root/reference/osmquadtreepostgis/__init__.py:202-279). Ranking
+    on the unrounded score with a term tie-break; emitted score
+    rounded 4 dp in both engines."""
+    from osmquadtreepostgis_spark.operators.tfidf import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf), k=5)
+
+
+def q_collocations(spark, sf):
+    """Global top-50 bigram collocations by PMI
+    (operators/tfidf.py:collocations_pmi): pure-Column shifted-slice
+    bigrams, keyed aggregations, two vocabulary joins, broadcast
+    totals, TakeOrdered top-k (no global sort)."""
+    from osmquadtreepostgis_spark.operators.tfidf import collocations_pmi
+
+    return collocations_pmi(_docs(spark, sf), min_count=5, k=50)
+
+
 def q_synth_dedup_pairs(spark, sf):
     """MinHash-LSH candidate generation + exact verification
     (operators/dedup.py:minhash_verified_pairs, threshold-derived
@@ -1574,6 +1599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url": _shipped(q_dedup_url),
         "embed_quantize": _shipped(q_embed_quantize),
         "decontaminate": _shipped(q_decontaminate),
+        "tfidf_keywords": _shipped(q_tfidf_keywords),
+        "collocations": _shipped(q_collocations),
         "sql_surface_cells": _shipped(q_sql_surface_cells),
         "pip_points_in_boxes": _shipped(q_pip_points_in_boxes),
         "pip_shuffle_cover": _shipped(q_pip_shuffle_cover),
@@ -2342,6 +2369,10 @@ def oracle_sql() -> dict[str, str]:
                    (round(cast(coalesce(pd.contaminated_tokens, 0) as double)
                           / greatest(b.total_tokens, 1), 4) <= 0.0) AS keep
             FROM base b LEFT JOIN pd USING (doc_id)""",
+        "tfidf_keywords": TFIDF.sql_tfidf_topk("documents", k=5),
+        "collocations": TFIDF.sql_collocations_pmi(
+            "documents", min_count=5, k=50
+        ),
         "dedup_ngram_jaccard": f"""
             WITH sh AS (SELECT doc_id AS id, {sql_word_shingles('text', 3)} AS s
                         FROM documents),
