@@ -148,6 +148,8 @@ def main() -> None:
         "decontaminate",
         "dedup_url",
         "embed_quantize",
+        "tfidf_keywords",
+        "collocations",
         "multipolygon_chain",
         "synth_dedup_pairs",
         "curate_corpus",
@@ -226,6 +228,43 @@ def main() -> None:
     timed("domain_stats_psl10k", _domain_stats_psl10k)
 
     total = round(sum(timings.values()), 3)
+
+    # --- host self-calibration --------------------------------------------
+    # The SAME kernels as BENCH/scaling.py (_burn / _stream), run once
+    # single-process, so every per-round JSON carries the host's current
+    # per-core compute speed and memory-stream speed. Cross-round wall
+    # comparisons must be normalized by these: a round measured on a
+    # degraded/noisy host (e.g. r4->r5: compute kernel 1.33 s -> ~2 s,
+    # -48 % per-core) would otherwise read as a code regression.
+    def _calib_compute() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            x = 0
+            for i in range(8_000_000):
+                x += i * i
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    def _calib_stream() -> float:
+        import numpy as np
+
+        a = np.random.default_rng(0).integers(
+            0, 255, 200_000_000, dtype=np.uint8
+        )
+        t0 = time.perf_counter()
+        s = 0
+        for _ in range(6):
+            b = a.copy()
+            s += int(b[::4096].sum())
+        assert s >= 0
+        return round(time.perf_counter() - t0, 3)
+
+    host_calibration = {
+        "compute_kernel_sec_1core_min3": _calib_compute(),
+        "stream_kernel_sec_1core": _calib_stream(),
+    }
+
     print(
         json.dumps(
             {
@@ -247,6 +286,8 @@ def main() -> None:
                 # footnote: unconfined local[32] min-of-3 (host-noise-
                 # dominated past ~8 threads on this box)
                 "pages_per_sec_unconfined32": pages_per_sec_unconfined,
+                # normalize cross-round walls by these (see comment above)
+                "host_calibration": host_calibration,
             }
         )
     )
