@@ -1583,8 +1583,89 @@ def q_synth_dedup_pairs(spark, sf):
     )
 
 
+def q_geohash_encode(spark, sf):
+    """Geohash-8 encode (functions/geohash.py) — the public base32
+    interchange form of the reference's interleaved-bisection quadtree
+    key (src/oqt_compat quadtree::calculate analog): packed 40-bit key
+    + base32 string + the 4-char prefix used for coarse bucketing.
+    Pure-Column bit math built from the SAME generator as the oracle;
+    projection only — no shuffle, no UDF."""
+    from osmquadtreepostgis_spark.functions.geohash import with_geohash
+
+    d = doc_coords(_docs(spark, sf).select("doc_id"))
+    g = with_geohash(d, "lon", "lat", 8)
+    return g.select(
+        "doc_id",
+        "gh_key",
+        "geohash",
+        F.substring("geohash", 1, 4).alias("gh4"),
+    )
+
+
+def q_passage_dedup(spark, sf):
+    """C4-style sub-document global dedup (operators/passages.py):
+    8-word passages, global first-occurrence survivor (min (doc_id,
+    idx) — deterministic, order-independent), per-doc re-assembly.
+    One fingerprint groupBy + one join back + one doc groupBy; no
+    window over the corpus, no Python."""
+    from osmquadtreepostgis_spark.operators.passages import passage_dedup
+
+    return passage_dedup(_docs(spark, sf).select("doc_id", "text"))
+
+
+_BL_PATH_KEYWORDS = ["/ads/", "utm_tracker"]
+
+
+def _blocklist_url():
+    k = (F.col("doc_id") % 37).cast("string")
+    i = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("https://site"), k, F.lit(".example"), k, F.lit(".org"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("/ads/")).otherwise(
+            F.lit("/p/")
+        ),
+        i,
+    )
+
+
+def _blocklist_url_sql() -> str:
+    return (
+        "('https://site' || cast(doc_id % 37 as varchar) || "
+        "'.example' || cast(doc_id % 37 as varchar) || '.org' || "
+        "(CASE WHEN doc_id % 11 = 0 THEN '/ads/' ELSE '/p/' END) || "
+        "cast(doc_id as varchar))"
+    )
+
+
+def q_url_blocklist(spark, sf):
+    """Crawl-gatekeeper blocklist audit (operators/blocklist.py):
+    registered-domain rules as a broadcast EQUI left join (the rule
+    table is data — millions of rows in production), path keywords
+    folded at plan time into one codegen'd regex. Every page comes
+    back with blocked_domain / blocked_path / kept flags."""
+    from osmquadtreepostgis_spark.operators.blocklist import audit_blocklist
+
+    d = _docs(spark, sf).select("doc_id").withColumn("url", _blocklist_url())
+    rules = (
+        spark.range(37)
+        .filter(F.col("id") % 4 == 0)
+        .select(
+            F.concat(
+                F.lit("example"), F.col("id").cast("string"), F.lit(".org")
+            ).alias("domain")
+        )
+    )
+    out = audit_blocklist(d, rules, _BL_PATH_KEYWORDS, url_col="url")
+    return out.select(
+        "doc_id", "url", "domain", "blocked_domain", "blocked_path", "kept"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "geohash_encode": _shipped(q_geohash_encode),
+        "passage_dedup": _shipped(q_passage_dedup),
+        "url_blocklist": _shipped(q_url_blocklist),
         # NOTE on ordering: the correctness driver samples the FIRST 50
         # entries of this dict.  Entries added late in a round are placed
         # near the front so they receive a hard driver-oracle row at least
@@ -2072,7 +2153,46 @@ def oracle_sql() -> dict[str, str]:
             f"{qt.sql_cell_parent(pack, depth)} AS tile, "
             f"count(*) AS n FROM cells GROUP BY 2"
         )
+    from osmquadtreepostgis_spark.functions.geohash import (
+        sql_geohash_chars,
+        sql_geohash_key,
+        sql_geohash_scaled,
+    )
+    from osmquadtreepostgis_spark.functions.urls import sql_registered_domain
+    from osmquadtreepostgis_spark.operators.passages import sql_passage_dedup
+    import re as _re
+
+    gh_li, gh_la = sql_geohash_scaled("lon", "lat", 8)
+    bl_pat = "|".join(_re.escape(k) for k in sorted(_BL_PATH_KEYWORDS))
     sql = {
+        "geohash_encode": f"""
+            WITH {_DOCS_CTE},
+            s AS (SELECT doc_id, {gh_li} AS loni, {gh_la} AS lati FROM docs),
+            k AS (SELECT doc_id,
+                         {sql_geohash_key('loni', 'lati', 8)} AS gh_key
+                  FROM s),
+            c AS (SELECT doc_id, gh_key,
+                         {sql_geohash_chars('gh_key', 8)} AS geohash
+                  FROM k)
+            SELECT doc_id, gh_key, geohash,
+                   substring(geohash, 1, 4) AS gh4
+            FROM c""",
+        "passage_dedup": sql_passage_dedup("documents"),
+        "url_blocklist": f"""
+            WITH u AS (SELECT doc_id, {_blocklist_url_sql()} AS url
+                       FROM documents),
+            d AS (SELECT doc_id, url,
+                         {sql_registered_domain('url')} AS domain
+                  FROM u),
+            bl AS (SELECT 'example' || cast(range as varchar) || '.org'
+                          AS bdom
+                   FROM range(0, 37) WHERE range % 4 = 0)
+            SELECT d.doc_id, d.url, d.domain,
+                   (b.bdom IS NOT NULL) AS blocked_domain,
+                   regexp_matches(d.url, '{bl_pat}') AS blocked_path,
+                   (b.bdom IS NULL AND
+                    NOT regexp_matches(d.url, '{bl_pat}')) AS kept
+            FROM d LEFT JOIN bl b ON d.domain = b.bdom""",
         "cell_encode": f"""
             WITH {_DOCS_CTE}, {_CELLS_CTE}
             SELECT doc_id, lon, lat, {_PACK18} AS cell,
