@@ -1661,8 +1661,32 @@ def q_url_blocklist(spark, sf):
     )
 
 
+_SEG_X2 = "least(greatest(lon + ((doc_id % 17) - 8) * 1.7, -180.0), 180.0)"
+_SEG_Y2 = "least(greatest(lat + ((doc_id % 13) - 6) * 1.3, -90.0), 90.0)"
+
+
+def q_tile_clip(spark, sf):
+    """Tile fragmentation (operators/clip.py): Liang-Barsky parametric
+    clip of synthesized multi-tile segments against the depth-5
+    equirectangular grid, candidates from the bbox tile cover. Scan →
+    project → two explodes → codegen'd window filter; ZERO shuffles —
+    the per-tile write repartition is the caller's only exchange."""
+    from osmquadtreepostgis_spark.operators.clip import clip_segments_to_tiles
+
+    d = doc_coords(_docs(spark, sf).select("doc_id"))
+    segs = d.select(
+        F.col("doc_id").alias("seg_id"),
+        F.col("lon").alias("x1"),
+        F.col("lat").alias("y1"),
+        F.expr(_SEG_X2).alias("x2"),
+        F.expr(_SEG_Y2).alias("y2"),
+    )
+    return clip_segments_to_tiles(segs, depth=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "tile_clip": _shipped(q_tile_clip),
         "geohash_encode": _shipped(q_geohash_encode),
         "passage_dedup": _shipped(q_passage_dedup),
         "url_blocklist": _shipped(q_url_blocklist),
@@ -2164,7 +2188,14 @@ def oracle_sql() -> dict[str, str]:
 
     gh_li, gh_la = sql_geohash_scaled("lon", "lat", 8)
     bl_pat = "|".join(_re.escape(k) for k in sorted(_BL_PATH_KEYWORDS))
+    from osmquadtreepostgis_spark.operators.clip import sql_clip_segments
+
+    seg_ctes = f"""{_DOCS_CTE},
+            segs AS (SELECT doc_id AS seg_id, lon AS x1, lat AS y1,
+                            {_SEG_X2} AS x2, {_SEG_Y2} AS y2
+                     FROM docs)"""
     sql = {
+        "tile_clip": sql_clip_segments("segs", 5, extra_ctes=seg_ctes),
         "geohash_encode": f"""
             WITH {_DOCS_CTE},
             s AS (SELECT doc_id, {gh_li} AS loni, {gh_la} AS lati FROM docs),
