@@ -1684,8 +1684,48 @@ def q_tile_clip(spark, sf):
     return clip_segments_to_tiles(segs, depth=5)
 
 
+_LINK_PARAMS = [(7, 1), (13, 5), (31, 11)]
+
+
+def _links_sql() -> str:
+    arms = " UNION ALL ".join(
+        f"SELECT doc_id AS src, (doc_id * {m} + {a}) % 1000 AS dst "
+        "FROM documents"
+        for m, a in _LINK_PARAMS
+    )
+    return f"(SELECT * FROM ({arms}) WHERE src <> dst)"
+
+
+def q_linkrank(spark, sf):
+    """Fixed-point damped link rank (operators/linkrank.py): 2
+    iterations of the PageRank recurrence in int64 micro-units —
+    integer sums are order-independent, so the distributed result is
+    bit-stable under any partitioning (and equals the DuckDB twin
+    exactly, no float-sum-order caveats). Links synthesized 3 per
+    page with dangling targets dropped by the membership semi-join."""
+    from osmquadtreepostgis_spark.operators.linkrank import linkrank
+
+    d = _docs(spark, sf).select("doc_id")
+    links = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    *[
+                        (F.col("doc_id") * m + a) % 1000
+                        for m, a in _LINK_PARAMS
+                    ]
+                )
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return linkrank(d, links, iterations=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "linkrank": _shipped(q_linkrank),
         "tile_clip": _shipped(q_tile_clip),
         "geohash_encode": _shipped(q_geohash_encode),
         "passage_dedup": _shipped(q_passage_dedup),
@@ -2194,7 +2234,10 @@ def oracle_sql() -> dict[str, str]:
             segs AS (SELECT doc_id AS seg_id, lon AS x1, lat AS y1,
                             {_SEG_X2} AS x2, {_SEG_Y2} AS y2
                      FROM docs)"""
+    from osmquadtreepostgis_spark.operators.linkrank import sql_linkrank
+
     sql = {
+        "linkrank": sql_linkrank("documents", _links_sql(), iterations=2),
         "tile_clip": sql_clip_segments("segs", 5, extra_ctes=seg_ctes),
         "geohash_encode": f"""
             WITH {_DOCS_CTE},

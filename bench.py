@@ -193,6 +193,10 @@ def main() -> None:
         "stream_curate",
         "stream_events_window",
         "stream_stateful_sessionize",
+        "tile_clip",
+        "geohash_encode",
+        "passage_dedup",
+        "url_blocklist",
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
