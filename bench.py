@@ -197,6 +197,7 @@ def main() -> None:
         "geohash_encode",
         "passage_dedup",
         "url_blocklist",
+        "linkrank",
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 

@@ -58,10 +58,13 @@ def linkrank(
     not in ``pages`` are ignored (dangling / external edges)."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    # no broadcast hint: the id set is the FULL page population — at
+    # 10^12 pages these must stay keyed shuffle semi-joins; AQE
+    # demotes them to broadcast automatically when the set is small
     ids = pages.select(F.col(id_col).alias("__pg")).distinct()
     live = (
-        links.join(ids.hint("broadcast"), links["src"] == ids["__pg"], "left_semi")
-        .join(ids.hint("broadcast"), links["dst"] == ids["__pg"], "left_semi")
+        links.join(ids, links["src"] == ids["__pg"], "left_semi")
+        .join(ids, links["dst"] == ids["__pg"], "left_semi")
         .select("src", "dst")
     )
     outdeg = live.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
