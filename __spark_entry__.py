@@ -1723,8 +1723,94 @@ def q_linkrank(spark, sf):
     return linkrank(d, links, iterations=2)
 
 
+def _anchored_html_col():
+    """Fixture html whose body carries one <a> per _LINK_PARAMS arm —
+    the href path encodes the synthetic link target, so the parsed
+    graph equals q_linkrank's formula graph."""
+    from osmquadtreepostgis_spark.functions.html import escape_html
+
+    parts = [F.lit(_HTML_PRE), escape_html(F.col("text")), F.lit("</p>")]
+    for m, a in _LINK_PARAMS:
+        t = ((F.col("doc_id") * m + a) % 1000).cast("string")
+        parts += [
+            F.lit('<a href="https://h'),
+            t,
+            F.lit(".example.org/p/"),
+            t,
+            F.lit('">go '),
+            t,
+            F.lit("</a>"),
+        ]
+    parts.append(F.lit("</body></html>"))
+    return F.concat(*parts)
+
+
+def _anchored_html_sql() -> str:
+    from osmquadtreepostgis_spark.functions.html import sql_escape_html
+
+    arms = []
+    for m, a in _LINK_PARAMS:
+        t = f"cast((doc_id * {m} + {a}) % 1000 as varchar)"
+        arms.append(
+            f"'<a href=\"https://h' || {t} || '.example.org/p/' || {t} || "
+            f"'\">go ' || {t} || '</a>'"
+        )
+    return (
+        f"'{_HTML_PRE}' || {sql_escape_html('text')} || '</p>' || "
+        + " || ".join(arms)
+        + " || '</body></html>'"
+    )
+
+
+def q_anchor_extract(spark, sf):
+    """Anchor/out-link extraction (functions/html.py:extract_links):
+    two portable single-group regexp_extract_all passes zipped
+    positionally, posexplode to one row per link, registered domain
+    attached. Pure Catalyst — the crawl-side producer of the link
+    graph that linkrank consumes."""
+    from osmquadtreepostgis_spark.functions.html import extract_links
+    from osmquadtreepostgis_spark.functions.urls import registered_domain
+
+    d = _docs(spark, sf).select("doc_id", "text")
+    rows = d.select(
+        "doc_id", F.posexplode(extract_links(_anchored_html_col()))
+    )
+    return rows.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("link_idx"),
+        F.col("col.href").alias("href"),
+        F.col("col.anchor").alias("anchor"),
+        registered_domain(F.col("col.href")).alias("href_domain"),
+    )
+
+
+def q_anchor_linkrank(spark, sf):
+    """END-TO-END web composition: html → anchor extraction → parse
+    the target page id out of each href → fixed-point linkrank over
+    the PARSED graph. Content-derived rather than formula-derived
+    links; equals q_linkrank's result because the fixture hrefs
+    encode the same targets."""
+    from osmquadtreepostgis_spark.functions.html import extract_links
+    from osmquadtreepostgis_spark.operators.linkrank import linkrank
+
+    d = _docs(spark, sf).select("doc_id", "text")
+    links = (
+        d.select("doc_id", F.explode(extract_links(_anchored_html_col())))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.regexp_extract(F.col("col.href"), "/p/([0-9]+)$", 1)
+            .cast("long")
+            .alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return linkrank(d.select("doc_id"), links, iterations=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "anchor_extract": _shipped(q_anchor_extract),
+        "anchor_linkrank": _shipped(q_anchor_linkrank),
         "linkrank": _shipped(q_linkrank),
         "tile_clip": _shipped(q_tile_clip),
         "geohash_encode": _shipped(q_geohash_encode),
@@ -2236,7 +2322,27 @@ def oracle_sql() -> dict[str, str]:
                      FROM docs)"""
     from osmquadtreepostgis_spark.operators.linkrank import sql_linkrank
 
+    from osmquadtreepostgis_spark.functions.html import (
+        sql_extract_links_lateral,
+    )
+
+    anchor_rows = sql_extract_links_lateral(
+        "documents", _anchored_html_sql(), "doc_id"
+    )
+    anchor_links = f"""(
+        SELECT doc_id AS src,
+               cast(regexp_extract(href, '/p/([0-9]+)$', 1) as bigint) AS dst
+        FROM {anchor_rows} WHERE doc_id <>
+             cast(regexp_extract(href, '/p/([0-9]+)$', 1) as bigint)
+    )"""
     sql = {
+        "anchor_extract": f"""
+            SELECT doc_id, link_idx, href, anchor,
+                   {sql_registered_domain('href')} AS href_domain
+            FROM {anchor_rows}""",
+        "anchor_linkrank": sql_linkrank(
+            "documents", anchor_links, iterations=2
+        ),
         "linkrank": sql_linkrank("documents", _links_sql(), iterations=2),
         "tile_clip": sql_clip_segments("segs", 5, extra_ctes=seg_ctes),
         "geohash_encode": f"""

@@ -198,6 +198,8 @@ def main() -> None:
         "passage_dedup",
         "url_blocklist",
         "linkrank",
+        "anchor_extract",
+        "anchor_linkrank",
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 

@@ -36,7 +36,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["extract_text", "sql_extract_text", "escape_html", "sql_escape_html"]
+__all__ = [
+    "extract_text",
+    "sql_extract_text",
+    "escape_html",
+    "sql_escape_html",
+    "extract_links",
+    "sql_extract_links_lateral",
+]
 
 # (regex, replacement) — applied in order, Java and RE2 compatible
 _BLOCK_PATTERNS: list[tuple[str, str]] = [
@@ -86,6 +93,48 @@ def escape_html(text) -> Column:
     for lit, rep in _ESCAPES:
         c = F.replace(c, F.lit(lit), F.lit(rep))
     return c
+
+
+# --- link extraction -------------------------------------------------------
+
+# both patterns are RE2-safe (no backtracking constructs): href is the
+# quoted attribute value, anchor text is the tag body up to the first
+# '<' (the fixture/crawl-normal case; nested markup inside <a> yields
+# the leading text run, deterministically, in both engines)
+_HREF_PATTERN = '<a href="([^"]*)"'
+_ANCHOR_PATTERN = '<a href="[^"]*"[^>]*>([^<]*)</a>'
+
+
+def extract_links(html) -> Column:
+    """array<struct<href,anchor>> of the <a> tags of an html column.
+
+    Two ``regexp_extract_all`` passes (one capture group each — the
+    portable subset: neither engine extracts multiple groups per
+    match) zipped positionally; pure Catalyst, no Python.  Pages
+    without links yield an empty array.
+    """
+    c = F.col(html) if isinstance(html, str) else html
+    c = c.cast("string")
+    hrefs = F.regexp_extract_all(c, F.lit(_HREF_PATTERN), F.lit(1))
+    anchors = F.regexp_extract_all(c, F.lit(_ANCHOR_PATTERN), F.lit(1))
+    return F.arrays_zip(hrefs.alias("href"), anchors.alias("anchor"))
+
+
+def sql_extract_links_lateral(rel: str, html_expr: str, keep_cols: str) -> str:
+    """DuckDB twin, exploded form: one row per link with 0-based
+    ``link_idx``, ``href``, ``anchor`` alongside ``keep_cols`` of
+    ``rel`` (lateral unnest over the zipped extract arrays)."""
+    return f"""(
+      SELECT {keep_cols}, cast(u.i - 1 as bigint) AS link_idx,
+             h.hrefs[u.i] AS href, h.anchors[u.i] AS anchor
+      FROM (
+        SELECT {keep_cols},
+               regexp_extract_all({html_expr}, '{_HREF_PATTERN}', 1) AS hrefs,
+               regexp_extract_all({html_expr}, '{_ANCHOR_PATTERN}', 1)
+                 AS anchors
+        FROM {rel}
+      ) h, unnest(range(1, len(h.hrefs) + 1)) AS u(i)
+    )"""
 
 
 # --- ANSI-SQL twins (DuckDB dialect), generated from the same tables -------
