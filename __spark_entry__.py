@@ -1762,6 +1762,17 @@ def _anchored_html_sql() -> str:
     )
 
 
+def q_lm_surprisal(spark, sf):
+    """Corpus-trained unigram surprisal quality score in EXACT integer
+    bits (operators/tfidf.py:unigram_surprisal): ilog2 via length(bin)
+    — no float log, integer per-doc sums are order-independent, so the
+    distributed score is bit-stable (the LM-perplexity filter shape
+    without the float-sum nondeterminism)."""
+    from osmquadtreepostgis_spark.operators.tfidf import unigram_surprisal
+
+    return unigram_surprisal(_docs(spark, sf).select("doc_id", "text"))
+
+
 def q_anchor_extract(spark, sf):
     """Anchor/out-link extraction (functions/html.py:extract_links):
     two portable single-group regexp_extract_all passes zipped
@@ -1809,6 +1820,7 @@ def q_anchor_linkrank(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "lm_surprisal": _shipped(q_lm_surprisal),
         "anchor_extract": _shipped(q_anchor_extract),
         "anchor_linkrank": _shipped(q_anchor_linkrank),
         "linkrank": _shipped(q_linkrank),
@@ -2335,7 +2347,10 @@ def oracle_sql() -> dict[str, str]:
         FROM {anchor_rows} WHERE doc_id <>
              cast(regexp_extract(href, '/p/([0-9]+)$', 1) as bigint)
     )"""
+    from osmquadtreepostgis_spark.operators.tfidf import sql_unigram_surprisal
+
     sql = {
+        "lm_surprisal": sql_unigram_surprisal("documents"),
         "anchor_extract": f"""
             SELECT doc_id, link_idx, href, anchor,
                    {sql_registered_domain('href')} AS href_domain

@@ -200,6 +200,7 @@ def main() -> None:
         "linkrank",
         "anchor_extract",
         "anchor_linkrank",
+        "lm_surprisal",
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 

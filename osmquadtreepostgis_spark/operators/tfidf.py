@@ -48,6 +48,8 @@ __all__ = [
     "collocations_pmi",
     "sql_tfidf_topk",
     "sql_collocations_pmi",
+    "unigram_surprisal",
+    "sql_unigram_surprisal",
 ]
 
 
@@ -273,3 +275,81 @@ def sql_collocations_pmi(
         FROM s
         ORDER BY raw DESC, w1 ASC, w2 ASC
         LIMIT {k}"""
+
+
+def unigram_surprisal(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-trained unigram surprisal score in EXACT integer bits.
+
+    The classical LM-perplexity quality filter (score docs by how
+    surprising their tokens are under a corpus-trained language
+    model) needs a distributed-deterministic formulation: summing
+    ``-ln p(token)`` doubles per document is order-dependent under
+    shuffle, so the same job can hash-differ run to run.  This
+    operator quantizes per-token surprisal to whole bits computed in
+    integer arithmetic::
+
+        bits(token) = ilog2(total_tokens) - ilog2(count(token))
+        ilog2(n)    = length(bin(n)) - 1      (exact, no float log)
+
+    i.e. ``floor``-resolution ``-log2`` of the unigram frequency.
+    Integer sums are order-independent, so the per-doc aggregate is
+    bit-stable at any scale; the only float op is one final division
+    (sum_bits / n_tokens), identical in both engines.  Within ±1 bit
+    this tracks true unigram surprisal — ample resolution for
+    quality filtering, where thresholds are whole bits apart.
+
+    Scale shape: token explode -> ONE (term) count aggregate
+    (map-side combined; the vocabulary result is tiny vs the stream)
+    -> single-row total via broadcast -> token⋈count keyed equi-join
+    (AQE demotes to broadcast when the vocabulary fits; stop-word
+    skew combines in the upstream aggregate, and the join build side
+    is the vocabulary, not the stream) -> ONE per-doc aggregate.
+    """
+    toks = _tokens(df, id_col, text_col)
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            (F.length(F.bin("total")) - F.length(F.bin("cnt"))).alias("__bits"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("__bits").cast("long").alias("sum_bits"),
+        (F.sum("__bits").cast("double") / F.count(F.lit(1))).alias("surprisal"),
+    )
+
+
+def sql_unigram_surprisal(
+    docs_rel: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`unigram_surprisal` (same integer-bit
+    quantization; ``bin()`` exists in both dialects)."""
+    return f"""
+        WITH __us_tok AS (
+          SELECT {id_col}, t.term
+          FROM {docs_rel}, unnest(string_split({text_col}, ' ')) AS t(term)
+          WHERE {text_col} IS NOT NULL AND length(t.term) > 0
+        ),
+        __us_cnt AS (
+          SELECT term, count(*) AS cnt FROM __us_tok GROUP BY term
+        ),
+        __us_tot AS (
+          SELECT cast(sum(cnt) as bigint) AS total FROM __us_cnt
+        ),
+        __us_bits AS (
+          SELECT k.{id_col},
+                 length(bin(t.total)) - length(bin(c.cnt)) AS bits
+          FROM __us_tok k JOIN __us_cnt c USING (term), __us_tot t
+        )
+        SELECT {id_col},
+               count(*) AS n_tokens,
+               cast(sum(bits) as bigint) AS sum_bits,
+               cast(sum(bits) as double) / count(*) AS surprisal
+        FROM __us_bits
+        GROUP BY {id_col}"""
