@@ -1762,6 +1762,19 @@ def _anchored_html_sql() -> str:
     )
 
 
+def q_stream_url_gate(spark, sf):
+    """Stream-STATIC join gate (streaming/stream.py:stream_url_gate):
+    blocklist rules as a bounded static broadcast frame joined into
+    each micro-batch of the page stream, folded path regex, running
+    per-domain kept/blocked aggregate. Order-independent aggregates
+    make the bounded answer schedule-invariant = the batch oracle."""
+    from osmquadtreepostgis_spark.streaming.stream import stream_url_gate
+
+    return run_stream_to_completion(
+        stream_url_gate(spark, sf), name="q_stream_url_gate"
+    )
+
+
 def q_lm_surprisal(spark, sf):
     """Corpus-trained unigram surprisal quality score in EXACT integer
     bits (operators/tfidf.py:unigram_surprisal): ilog2 via length(bin)
@@ -1820,6 +1833,7 @@ def q_anchor_linkrank(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "stream_url_gate": _shipped(q_stream_url_gate),
         "lm_surprisal": _shipped(q_lm_surprisal),
         "anchor_extract": _shipped(q_anchor_extract),
         "anchor_linkrank": _shipped(q_anchor_linkrank),
@@ -2350,6 +2364,26 @@ def oracle_sql() -> dict[str, str]:
     from osmquadtreepostgis_spark.operators.tfidf import sql_unigram_surprisal
 
     sql = {
+        "stream_url_gate": f"""
+            WITH u AS (SELECT doc_id, {_blocklist_url_sql()} AS url
+                       FROM documents),
+            d AS (SELECT doc_id, url,
+                         {sql_registered_domain('url')} AS domain
+                  FROM u),
+            bl AS (SELECT 'example' || cast(range as varchar) || '.org'
+                          AS bdom
+                   FROM range(0, 37) WHERE range % 4 = 0),
+            g AS (SELECT d.doc_id, d.domain,
+                         (b.bdom IS NOT NULL OR
+                          regexp_matches(d.url, '{bl_pat}')) AS blocked
+                  FROM d LEFT JOIN bl b ON d.domain = b.bdom)
+            SELECT domain,
+                   cast(sum(CASE WHEN blocked THEN 1 ELSE 0 END) as bigint)
+                     AS n_blocked,
+                   cast(sum(CASE WHEN blocked THEN 0 ELSE 1 END) as bigint)
+                     AS n_kept,
+                   min(doc_id) AS first_doc_id
+            FROM g GROUP BY domain""",
         "lm_surprisal": sql_unigram_surprisal("documents"),
         "anchor_extract": f"""
             SELECT doc_id, link_idx, href, anchor,

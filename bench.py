@@ -201,6 +201,7 @@ def main() -> None:
         "anchor_extract",
         "anchor_linkrank",
         "lm_surprisal",
+        "stream_url_gate",
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 

@@ -341,3 +341,70 @@ def run_stream_to_completion(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def stream_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join gate: the URL blocklist
+    (:mod:`..operators.blocklist`) applied to a continuous page
+    stream.  The one Structured-Streaming join mode the rest of the
+    streaming family doesn't exercise: the rule table is a bounded
+    STATIC frame broadcast into every micro-batch (Spark re-plans the
+    static side per batch, so on a cluster the rule table can be
+    swapped between batches without restarting the query), composed
+    with a stateless Column regex and a running per-domain aggregate.
+
+    State = one row per registered domain (bounded by the domain
+    population, not the stream); all aggregates are order-independent
+    (count/min), so the bounded-input answer is schedule-invariant —
+    the same contract as :func:`stream_dedup_exact`.
+    """
+    from ..functions.urls import registered_domain
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stage = (
+        Path(tempfile.gettempdir()) / f"oqps_stream_{abs(hash(sf_dir))}_documents"
+    )
+    stage.mkdir(exist_ok=True)
+    link = stage / "documents.parquet"
+    if not link.exists():
+        link.symlink_to(f"{sf_dir}/documents.parquet")
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage))
+    )
+    k = (F.col("doc_id") % 37).cast("string")
+    i = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("https://site"), k, F.lit(".example"), k, F.lit(".org"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("/ads/")).otherwise(F.lit("/p/")),
+        i,
+    )
+    rules = (
+        spark.range(37)
+        .filter(F.col("id") % 4 == 0)
+        .select(
+            F.concat(
+                F.lit("example"), F.col("id").cast("string"), F.lit(".org")
+            ).alias("__bl_dom"),
+            F.lit(True).alias("__bl_hit"),
+        )
+    )
+    pages = src.select("doc_id", url.alias("url")).withColumn(
+        "domain", registered_domain(F.col("url"))
+    )
+    gated = (
+        pages.join(
+            F.broadcast(rules), pages["domain"] == rules["__bl_dom"], "left"
+        )
+        .withColumn(
+            "blocked",
+            F.coalesce(F.col("__bl_hit"), F.lit(False))
+            | F.col("url").rlike("/ads/|utm_tracker"),
+        )
+    )
+    return gated.groupBy("domain").agg(
+        F.sum(F.col("blocked").cast("long")).alias("n_blocked"),
+        F.sum((~F.col("blocked")).cast("long")).alias("n_kept"),
+        F.min("doc_id").alias("first_doc_id"),
+    )

@@ -287,3 +287,43 @@ def test_stream_kill_mid_batch_then_restart_is_exactly_once(spark, tmp_path):
         spark.read.parquet(out + "/partials").select("batch_id").distinct().count()
     )
     assert n_batches == 3
+
+
+def test_stream_url_gate_equals_batch(spark):
+    """Stream-static join gate over the bounded file stream equals the
+    batch blocklist audit rolled up per domain (schedule-invariant
+    aggregates)."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+    from osmquadtreepostgis_spark.operators.blocklist import audit_blocklist
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        map(tuple, e.queries()["stream_url_gate"](spark, sf).collect())
+    )
+    d = (
+        e._docs(spark, sf)
+        .select("doc_id")
+        .withColumn("url", e._blocklist_url())
+    )
+    rules = (
+        spark.range(37)
+        .filter(F.col("id") % 4 == 0)
+        .select(
+            F.concat(
+                F.lit("example"), F.col("id").cast("string"), F.lit(".org")
+            ).alias("domain")
+        )
+    )
+    batch = (
+        audit_blocklist(d, rules, e._BL_PATH_KEYWORDS, url_col="url")
+        .withColumn("blocked", ~F.col("kept"))
+        .groupBy("domain")
+        .agg(
+            F.sum(F.col("blocked").cast("long")).alias("n_blocked"),
+            F.sum((~F.col("blocked")).cast("long")).alias("n_kept"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
