@@ -1762,6 +1762,31 @@ def _anchored_html_sql() -> str:
     )
 
 
+def q_recrawl_latest(spark, sf):
+    """Recrawl snapshot resolution — the (url, warc_ts) shape of the
+    input-hint pages table: multiple crawl snapshots of one canonical
+    URL collapse to the LATEST by capture time via ``max_by`` (ONE
+    hash groupBy with map-side-combinable arg-max state — no window,
+    no sort; ties impossible because the synthesized ts is injective
+    in doc_id). The upsert-side twin of q_dedup_url's keep-first."""
+    d = _docs(spark, sf).select("doc_id")
+    url = F.concat(
+        F.lit("https://s"),
+        (F.col("doc_id") % 101).cast("string"),
+        F.lit(".example.org/p"),
+    )
+    ts = F.lit(1600000000) + F.col("doc_id") * 37
+    return (
+        d.select(url.alias("url"), F.col("doc_id"), ts.alias("warc_ts_sec"))
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_snapshots"),
+            F.expr("max_by(doc_id, warc_ts_sec)").alias("latest_doc_id"),
+            F.max("warc_ts_sec").alias("latest_ts_sec"),
+        )
+    )
+
+
 def q_stream_url_gate(spark, sf):
     """Stream-STATIC join gate (streaming/stream.py:stream_url_gate):
     blocklist rules as a bounded static broadcast frame joined into
@@ -1833,6 +1858,7 @@ def q_anchor_linkrank(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "recrawl_latest": _shipped(q_recrawl_latest),
         "stream_url_gate": _shipped(q_stream_url_gate),
         "lm_surprisal": _shipped(q_lm_surprisal),
         "anchor_extract": _shipped(q_anchor_extract),
@@ -2364,6 +2390,16 @@ def oracle_sql() -> dict[str, str]:
     from osmquadtreepostgis_spark.operators.tfidf import sql_unigram_surprisal
 
     sql = {
+        "recrawl_latest": """
+            SELECT url, count(*) AS n_snapshots,
+                   arg_max(doc_id, warc_ts_sec) AS latest_doc_id,
+                   max(warc_ts_sec) AS latest_ts_sec
+            FROM (SELECT 'https://s' || cast(doc_id % 101 as varchar)
+                         || '.example.org/p' AS url,
+                         doc_id,
+                         1600000000 + doc_id * 37 AS warc_ts_sec
+                  FROM documents)
+            GROUP BY url""",
         "stream_url_gate": f"""
             WITH u AS (SELECT doc_id, {_blocklist_url_sql()} AS url
                        FROM documents),

@@ -202,6 +202,7 @@ def main() -> None:
         "anchor_linkrank",
         "lm_surprisal",
         "stream_url_gate",
+        "recrawl_latest",
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
