@@ -635,7 +635,7 @@ def _band_structs(n_hashes: int, bands: int):
 
 def minhash_geometry(
     threshold: float,
-    rows_per_band: int = 2,
+    rows_per_band: int = 3,
     target_miss: float = 1e-6,
 ) -> tuple[int, int]:
     """Derive an (n_hashes, bands) LSH geometry whose miss probability
@@ -647,10 +647,21 @@ def minhash_geometry(
     small geometries (e.g. 16 hashes / 4 bands) look fine on
     high-Jaccard fixtures but miss a t=0.5 pair 77 % of the time —
     sizing MUST come from the configured threshold (ADVICE r4).
-    Larger ``rows_per_band`` cuts false candidates (candidate prob for
-    a low-Jaccard pair falls as j^r per band) at the cost of more
-    bands for the same recall; r=2 matches dedup_incremental_minhash's
-    established 32/16 shape at its fixture threshold.
+
+    ``rows_per_band`` trades LINEAR signature cost against QUADRATIC
+    false-candidate cost: a background pair at Jaccard j collides per
+    band with probability j^r, and total candidates scale n² × b ×
+    E[j^r], so each +1 on r cuts the n² term by roughly a factor of
+    the background similarity while costing one more hash per band.
+    The r5 default moved 2 → 3 on measurement, not taste: a 540k-doc
+    planted-corpus run at r=2 (98×49, t=0.5) exploded to 608 M
+    candidate rows (160 M after pair-dedup) and did not finish in an
+    hour, while at the same recall target r=3 (312×104) returned the
+    IDENTICAL pair set faster than r=2 even at 60k docs (40.9 s vs
+    70.8 s) and 180k (164 s vs 206 s) — see BENCH/BASELINE.md
+    "Band-geometry FP scaling". At 10^12 docs the n² term is the only
+    one that matters; raise r further (4-5) for corpora with heavier
+    background similarity.
     """
     import math
 
