@@ -1856,8 +1856,25 @@ def q_anchor_linkrank(spark, sf):
     return linkrank(d.select("doc_id"), links, iterations=2)
 
 
+def q_spatial_cluster(spark, sf):
+    """Grid-blocked epsilon-ball spatial clustering
+    (operators/geocluster.py): candidate pairs from a 3×3
+    grid-neighborhood equi-join (never all pairs), exact squared-degree
+    refine, then the shared O(log n)-round large-star/small-star CC.
+    Labels are component-min doc ids; singletons keep their own id —
+    DBSCAN connectivity with minPts=1 over the deterministic
+    doc-coordinate fixture."""
+    from osmquadtreepostgis_spark.operators.geocluster import spatial_cluster
+
+    d = doc_coords(_docs(spark, sf).select("doc_id"))
+    return spatial_cluster(d, eps=6.0).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "spatial_cluster": _shipped(q_spatial_cluster),
         "recrawl_latest": _shipped(q_recrawl_latest),
         "stream_url_gate": _shipped(q_stream_url_gate),
         "lm_surprisal": _shipped(q_lm_surprisal),
@@ -2389,7 +2406,28 @@ def oracle_sql() -> dict[str, str]:
     )"""
     from osmquadtreepostgis_spark.operators.tfidf import sql_unigram_surprisal
 
+    from osmquadtreepostgis_spark.operators.geocluster import sql_epsilon_edges
+
+    _pts = f"SELECT doc_id, {_LON} AS lon, {_LAT} AS lat FROM documents"
+    _eedges = sql_epsilon_edges(_pts, 6.0, id_col="doc_id")
+
     sql = {
+        "spatial_cluster": f"""
+            WITH RECURSIVE pairs AS ({_eedges}),
+            e AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+            walk(id, r) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM e)
+              UNION
+              SELECT e.v, w.r FROM walk w JOIN e ON e.u = w.id),
+            lab AS (SELECT id, min(r) AS comp FROM walk GROUP BY id),
+            alldocs AS (SELECT d.doc_id,
+                               coalesce(l.comp, d.doc_id) AS cluster_id
+                        FROM documents d LEFT JOIN lab l ON l.id = d.doc_id),
+            sz AS (SELECT cluster_id, cast(count(*) AS bigint) AS cluster_size
+                   FROM alldocs GROUP BY cluster_id)
+            SELECT a.doc_id, a.cluster_id, sz.cluster_size
+            FROM alldocs a JOIN sz USING (cluster_id)""",
         "recrawl_latest": """
             SELECT url, count(*) AS n_snapshots,
                    arg_max(doc_id, warc_ts_sec) AS latest_doc_id,

@@ -125,6 +125,7 @@ def main() -> None:
         "pip_shuffle_cover",
         "knn_exact",
         "knn_grid",
+        "spatial_cluster",
         "pyramid_counts",
         "raster_vectorize",
         "routing_extended",
