@@ -1872,8 +1872,27 @@ def q_spatial_cluster(spark, sf):
     )
 
 
+def q_hilbert_encode(spark, sf):
+    """Hilbert-curve cell keys (functions/hilbert.py): the S2 family's
+    curve as a fourth key encoding beside Morton/z_order/geohash —
+    consecutive d-indexes are grid-adjacent, so range partitions of the
+    key are spatially compact blobs. Staged pure-Column bit math from
+    the SAME SQL generators as the DuckDB twin (byte-identical by
+    construction); the coarse tile is the top-bits SHIFT of the fine
+    key (quadrant digits are MSB-first), never a re-encode."""
+    from osmquadtreepostgis_spark.functions.hilbert import with_hilbert
+
+    d = doc_coords(_docs(spark, sf).select("doc_id"))
+    return with_hilbert(d, "lon", "lat", order=16).select(
+        "doc_id",
+        "hilbert_d",
+        F.expr("hilbert_d >> 16").alias("hilbert_tile8"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "hilbert_encode": _shipped(q_hilbert_encode),
         "spatial_cluster": _shipped(q_spatial_cluster),
         "recrawl_latest": _shipped(q_recrawl_latest),
         "stream_url_gate": _shipped(q_stream_url_gate),
@@ -2411,7 +2430,18 @@ def oracle_sql() -> dict[str, str]:
     _pts = f"SELECT doc_id, {_LON} AS lon, {_LAT} AS lat FROM documents"
     _eedges = sql_epsilon_edges(_pts, 6.0, id_col="doc_id")
 
+    from osmquadtreepostgis_spark.functions.hilbert import sql_hilbert_query
+
+    _hilb = sql_hilbert_query(
+        f"SELECT doc_id, {_LON} AS lon, {_LAT} AS lat FROM documents",
+        ["doc_id"],
+        order=16,
+    )
+
     sql = {
+        "hilbert_encode": f"""
+            SELECT doc_id, hilbert_d, hilbert_d >> 16 AS hilbert_tile8
+            FROM ({_hilb})""",
         "spatial_cluster": f"""
             WITH RECURSIVE pairs AS ({_eedges}),
             e AS (SELECT id_a AS u, id_b AS v FROM pairs

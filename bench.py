@@ -126,6 +126,7 @@ def main() -> None:
         "knn_exact",
         "knn_grid",
         "spatial_cluster",
+        "hilbert_encode",
         "pyramid_counts",
         "raster_vectorize",
         "routing_extended",
