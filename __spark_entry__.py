@@ -1872,6 +1872,24 @@ def q_spatial_cluster(spark, sf):
     )
 
 
+def q_dedup_incremental_bloom(spark, sf):
+    """Bloom-prefiltered EXACT seen-set membership
+    (operators/bloom.py): k JVM-side xxhash64 bit positions, one
+    map-side-combinable bit_or aggregate builds the filter (the
+    collect IS the broadcastable filter — 2 MiB at m=2^24), an
+    Arrow-batched numpy probe map-side-rejects definitely-new docs,
+    and only the maybe sliver (true dups + the sized FP rate) reaches
+    the exact semi-join — so the answer equals the plain text-equality
+    join, which is the oracle."""
+    from osmquadtreepostgis_spark.operators.bloom import (
+        dedup_incremental_bloom,
+    )
+
+    docs = _docs(spark, sf)
+    seen = docs.filter(F.col("doc_id") % 3 == 0).select("text")
+    return dedup_incremental_bloom(docs, seen)
+
+
 def q_hilbert_encode(spark, sf):
     """Hilbert-curve cell keys (functions/hilbert.py): the S2 family's
     curve as a fourth key encoding beside Morton/z_order/geohash —
@@ -1894,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hilbert_encode": _shipped(q_hilbert_encode),
         "spatial_cluster": _shipped(q_spatial_cluster),
+        "dedup_incremental_bloom": _shipped(q_dedup_incremental_bloom),
         "recrawl_latest": _shipped(q_recrawl_latest),
         "stream_url_gate": _shipped(q_stream_url_gate),
         "lm_surprisal": _shipped(q_lm_surprisal),
@@ -2442,6 +2461,11 @@ def oracle_sql() -> dict[str, str]:
         "hilbert_encode": f"""
             SELECT doc_id, hilbert_d, hilbert_d >> 16 AS hilbert_tile8
             FROM ({_hilb})""",
+        "dedup_incremental_bloom": """
+            SELECT n.doc_id, (s.text IS NOT NULL) AS seen_before
+            FROM documents n
+            LEFT JOIN (SELECT DISTINCT text FROM documents
+                       WHERE doc_id % 3 = 0) s ON n.text = s.text""",
         "spatial_cluster": f"""
             WITH RECURSIVE pairs AS ({_eedges}),
             e AS (SELECT id_a AS u, id_b AS v FROM pairs

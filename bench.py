@@ -147,6 +147,7 @@ def main() -> None:
         "dedup_clusters",
         "dedup_incremental",
         "dedup_incremental_minhash",
+        "dedup_incremental_bloom",
         "decontaminate",
         "dedup_url",
         "embed_quantize",
