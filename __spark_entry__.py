@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from osmquadtreepostgis_spark import quadtree as qt
@@ -1628,6 +1628,17 @@ def _blocklist_url():
     )
 
 
+def _robots_url_sql() -> str:
+    return (
+        "('https://site' || cast(doc_id % 37 as varchar) || "
+        "'.example' || cast(doc_id % 37 as varchar) || '.org' || "
+        "(CASE WHEN doc_id % 4 = 0 THEN '/ads/' || cast(doc_id as varchar) "
+        "WHEN doc_id % 4 = 1 THEN '/ads/ok/' || cast(doc_id as varchar) "
+        "WHEN doc_id % 4 = 2 THEN '/p/' || cast(doc_id as varchar) "
+        "ELSE '/' END))"
+    )
+
+
 def _blocklist_url_sql() -> str:
     return (
         "('https://site' || cast(doc_id % 37 as varchar) || "
@@ -1872,6 +1883,48 @@ def q_spatial_cluster(spark, sf):
     )
 
 
+def _robots_url() -> Column:
+    k = (F.col("doc_id") % 37).cast("string")
+    path = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("/ads/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("/ads/ok/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit("/p/"), F.col("doc_id").cast("string")))
+        .otherwise(F.lit("/"))
+    )
+    return F.concat(
+        F.lit("https://site"), k, F.lit(".example"), k, F.lit(".org"), path
+    )
+
+
+def q_robots_gate(spark, sf):
+    """robots.txt longest-match evaluation (operators/robots.py,
+    RFC 9309 semantics): rules are DATA (one row per prefix rule per
+    domain), pages meet only their domain's rules via a broadcast equi
+    join with the prefix test as residual, and longest-match + the
+    Allow-tie rule collapse to ONE map-side max(struct(len, allow))
+    aggregate — no window, no sort. No-rule pages are allowed."""
+    from osmquadtreepostgis_spark.operators.robots import robots_gate
+
+    pages = _docs(spark, sf).select("doc_id").withColumn("url", _robots_url())
+    base = spark.range(37)
+    dom = F.concat(F.lit("example"), F.col("id").cast("string"), F.lit(".org"))
+    mk = lambda pred, allow, pref: base.filter(pred).select(  # noqa: E731
+        dom.alias("domain"),
+        F.lit(allow).alias("allow"),
+        F.lit(pref).alias("path_prefix"),
+    )
+    rules = (
+        mk(F.col("id") % 2 == 0, False, "/ads/")
+        .unionByName(mk(F.col("id") % 2 == 0, True, "/ads/ok/"))
+        .unionByName(mk(F.col("id") % 3 == 0, False, ""))
+        .unionByName(mk(F.col("id") % 6 == 0, True, ""))
+    )
+    return robots_gate(pages, rules)
+
+
 def q_dedup_incremental_bloom(spark, sf):
     """Bloom-prefiltered EXACT seen-set membership
     (operators/bloom.py): k JVM-side xxhash64 bit positions, one
@@ -1913,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_encode": _shipped(q_hilbert_encode),
         "spatial_cluster": _shipped(q_spatial_cluster),
         "dedup_incremental_bloom": _shipped(q_dedup_incremental_bloom),
+        "robots_gate": _shipped(q_robots_gate),
         "recrawl_latest": _shipped(q_recrawl_latest),
         "stream_url_gate": _shipped(q_stream_url_gate),
         "lm_surprisal": _shipped(q_lm_surprisal),
@@ -2466,6 +2520,42 @@ def oracle_sql() -> dict[str, str]:
             FROM documents n
             LEFT JOIN (SELECT DISTINCT text FROM documents
                        WHERE doc_id % 3 = 0) s ON n.text = s.text""",
+        "robots_gate": f"""
+            WITH u AS (SELECT doc_id, {_robots_url_sql()} AS url
+                       FROM documents),
+            p AS (SELECT doc_id,
+                         {sql_registered_domain('url')} AS domain,
+                         regexp_extract(url,
+                           '^[a-z][a-z0-9+.-]*://[^/]*(/.*)$', 1) AS path
+                  FROM u),
+            dom AS (SELECT range AS k,
+                           'example' || cast(range as varchar) || '.org'
+                             AS domain
+                    FROM range(0, 37)),
+            rules AS (
+              SELECT domain, false AS allow, '/ads/' AS path_prefix
+              FROM dom WHERE k % 2 = 0
+              UNION ALL
+              SELECT domain, true, '/ads/ok/' FROM dom WHERE k % 2 = 0
+              UNION ALL
+              SELECT domain, false, '' FROM dom WHERE k % 3 = 0
+              UNION ALL
+              SELECT domain, true, '' FROM dom WHERE k % 6 = 0),
+            m AS (SELECT p.doc_id, p.domain, r.allow,
+                         length(r.path_prefix) AS l
+                  FROM p LEFT JOIN rules r
+                    ON p.domain = r.domain
+                   AND starts_with(p.path, r.path_prefix)),
+            ranked AS (SELECT doc_id, domain, allow, l,
+                              row_number() OVER (
+                                PARTITION BY doc_id
+                                ORDER BY l DESC NULLS LAST,
+                                         allow DESC NULLS LAST) AS rn
+                       FROM m)
+            SELECT doc_id, domain,
+                   coalesce(allow, true) AS allowed,
+                   cast(coalesce(l, 0) as bigint) AS rule_len
+            FROM ranked WHERE rn = 1""",
         "spatial_cluster": f"""
             WITH RECURSIVE pairs AS ({_eedges}),
             e AS (SELECT id_a AS u, id_b AS v FROM pairs

@@ -148,6 +148,7 @@ def main() -> None:
         "dedup_incremental",
         "dedup_incremental_minhash",
         "dedup_incremental_bloom",
+        "robots_gate",
         "decontaminate",
         "dedup_url",
         "embed_quantize",
