@@ -1883,6 +1883,21 @@ def q_spatial_cluster(spark, sf):
     )
 
 
+def q_weighted_sample(spark, sf):
+    """Deterministic weighted sampling without replacement
+    (operators/corpus.py weighted_sample, the exponential-keys / A-ES
+    scheme): key = -ln(u)/w with a portable md5 uniform, k smallest
+    keys win — inclusion probability proportional to weight,
+    reproducible across partitionings, executed as
+    TakeOrderedAndProject (per-partition heap, no global sort)."""
+    from osmquadtreepostgis_spark.operators.corpus import weighted_sample
+
+    d = _docs(spark, sf).select(
+        "doc_id", ((F.col("doc_id") % 10) + 1).cast("double").alias("w")
+    )
+    return weighted_sample(d, k=100, weight_col="w")
+
+
 def _robots_url() -> Column:
     k = (F.col("doc_id") % 37).cast("string")
     path = (
@@ -1967,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_cluster": _shipped(q_spatial_cluster),
         "dedup_incremental_bloom": _shipped(q_dedup_incremental_bloom),
         "robots_gate": _shipped(q_robots_gate),
+        "weighted_sample": _shipped(q_weighted_sample),
         "recrawl_latest": _shipped(q_recrawl_latest),
         "stream_url_gate": _shipped(q_stream_url_gate),
         "lm_surprisal": _shipped(q_lm_surprisal),
@@ -2520,6 +2536,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents n
             LEFT JOIN (SELECT DISTINCT text FROM documents
                        WHERE doc_id % 3 = 0) s ON n.text = s.text""",
+        "weighted_sample": """
+            SELECT doc_id, w AS weight, round(k, 6) AS sample_key
+            FROM (
+              SELECT doc_id, w,
+                     -ln((cast(concat('0x',
+                            substr(md5(cast(doc_id as varchar) || ':ws:0'),
+                                   1, 15)) as bigint) + 1.0)
+                         / 1152921504606846976.0) / w AS k
+              FROM (SELECT doc_id,
+                           cast((doc_id % 10) + 1 as double) AS w
+                    FROM documents)
+              WHERE w > 0)
+            ORDER BY k LIMIT 100""",
         "robots_gate": f"""
             WITH u AS (SELECT doc_id, {_robots_url_sql()} AS url
                        FROM documents),

@@ -149,6 +149,7 @@ def main() -> None:
         "dedup_incremental_minhash",
         "dedup_incremental_bloom",
         "robots_gate",
+        "weighted_sample",
         "decontaminate",
         "dedup_url",
         "embed_quantize",

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "quality_filter",
     "sample_stratified",
+    "weighted_sample",
     "pack_sequences",
     "cap_per_key",
 ]
@@ -218,3 +219,61 @@ def pack_sequences(
         yield pd.DataFrame({id_col: ids, "pack_id": packs, "pack_offset": offs})
 
     return df.select(id_col, count_col).mapInPandas(pack, out_schema)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (the
+    exponential-keys / A-ES scheme, public algorithm): each row draws
+    key = -ln(u)/w with u a portable md5 uniform in (0, 1], and the k
+    SMALLEST keys are the sample — inclusion probability proportional
+    to weight, no replacement, no RNG state.  The data-mixing step
+    when sources carry quality weights rather than per-stratum rates
+    (:func:`sample_stratified` is the rate form).
+
+    Distributed shape: the key is a pure-Column projection fused into
+    the scan; global selection is orderBy(key).limit(k), which Spark
+    executes as TakeOrderedAndProject — a per-partition top-k heap +
+    one k-row merge on the driver, NEVER a full sort/shuffle of the
+    corpus.  Reproducible across runs, partitionings and cluster
+    sizes; different ``salt`` values draw independent samples.
+
+    Rows with weight <= 0 or NULL are excluded (zero inclusion
+    probability; -ln(u)/w would flip sign or blow up).  ``sample_key``
+    is emitted rounded (audit column); selection itself uses the
+    unrounded key.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col(id_col).cast("string"), F.lit(f":ws:{salt}"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    # u in (0, 1]: (h + 1) / 2^60 — h is 60 bits, so u > 0 and ln(u)
+    # is finite; exactly the sketches' portable-hash idiom.
+    u = (h + F.lit(1).cast("double")) / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    key = -F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("__wskey", key)
+        .orderBy("__wskey")
+        .limit(k)
+        .select(
+            F.col(id_col),
+            w.alias("weight"),
+            F.round(F.col("__wskey"), 6).alias("sample_key"),
+        )
+    )
