@@ -1628,6 +1628,14 @@ def _blocklist_url():
     )
 
 
+def _sql_search_boolean() -> str:
+    from osmquadtreepostgis_spark.operators.tfidf import (
+        sql_search_conjunctive,
+    )
+
+    return sql_search_conjunctive(["hash", "join", "vector"], k=25)
+
+
 def _robots_url_sql() -> str:
     return (
         "('https://site' || cast(doc_id % 37 as varchar) || "
@@ -1883,6 +1891,21 @@ def q_spatial_cluster(spark, sf):
     )
 
 
+def q_search_boolean(spark, sf):
+    """Conjunctive boolean retrieval with TF-IDF ranking
+    (operators/tfidf.py search_conjunctive): the query-term filter
+    lands before the posting aggregate (non-query terms never
+    materialize — the probe plan of a term-partitioned posting table),
+    AND semantics is one countDistinct==|q| aggregate, per-term
+    dfreqs broadcast, doc length pure-Column, global top-k via
+    TakeOrderedAndProject."""
+    from osmquadtreepostgis_spark.operators.tfidf import search_conjunctive
+
+    return search_conjunctive(
+        _docs(spark, sf), ["hash", "join", "vector"], k=25
+    )
+
+
 def q_weighted_sample(spark, sf):
     """Deterministic weighted sampling without replacement
     (operators/corpus.py weighted_sample, the exponential-keys / A-ES
@@ -1983,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_bloom": _shipped(q_dedup_incremental_bloom),
         "robots_gate": _shipped(q_robots_gate),
         "weighted_sample": _shipped(q_weighted_sample),
+        "search_boolean": _shipped(q_search_boolean),
         "recrawl_latest": _shipped(q_recrawl_latest),
         "stream_url_gate": _shipped(q_stream_url_gate),
         "lm_surprisal": _shipped(q_lm_surprisal),
@@ -2536,6 +2560,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents n
             LEFT JOIN (SELECT DISTINCT text FROM documents
                        WHERE doc_id % 3 = 0) s ON n.text = s.text""",
+        "search_boolean": _sql_search_boolean(),
         "weighted_sample": """
             SELECT doc_id, w AS weight, round(k, 6) AS sample_key
             FROM (

@@ -150,6 +150,7 @@ def main() -> None:
         "dedup_incremental_bloom",
         "robots_gate",
         "weighted_sample",
+        "search_boolean",
         "decontaminate",
         "dedup_url",
         "embed_quantize",

@@ -50,6 +50,8 @@ __all__ = [
     "sql_collocations_pmi",
     "unigram_surprisal",
     "sql_unigram_surprisal",
+    "search_conjunctive",
+    "sql_search_conjunctive",
 ]
 
 
@@ -353,3 +355,121 @@ def sql_unigram_surprisal(
                cast(sum(bits) as double) / count(*) AS surprisal
         FROM __us_bits
         GROUP BY {id_col}"""
+
+
+def search_conjunctive(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conjunctive (AND) term retrieval with TF-IDF ranking — the
+    boolean-search probe over the same inverted-index shape
+    :func:`tfidf_topk` builds.  Returns the global top-``k`` documents
+    containing ALL query terms, scored by the summed smoothed TF-IDF
+    of the query terms (same idf formula as tfidf_topk so the two
+    surfaces agree).
+
+    Output: (id, n_hits, score) — n_hits = total query-term
+    occurrences in the doc, score 4-dp (ranking on the unrounded score
+    with an id tie-break).
+
+    Scale shape: the query-term filter lands BEFORE the explode-side
+    aggregate (posting rows for non-query terms never materialize — at
+    production scale this probe runs against a pre-materialized posting
+    table partitioned by term, and this operator is exactly that probe
+    plan); AND semantics is one count-distinct-terms == |q| aggregate;
+    document length comes from a pure-Column token count (no second
+    explode); per-term document frequencies are |q| rows, broadcast;
+    global top-k is TakeOrderedAndProject, never a sort of the match
+    set.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    q = sorted(set(terms))
+    toks = _tokens(df, id_col, text_col).where(F.col("term").isin(q))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("cnt"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    nd = (
+        df.where(F.col(text_col).isNotNull())
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    # doc length without a second explode: size of the non-empty splits
+    dlen = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), " "), lambda t: F.length(t) > 0
+            )
+        ).alias("doclen"),
+    )
+    idf = F.log(
+        (F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("dfreq"))
+    ) + F.lit(1.0)
+    part = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(nd))
+    per_doc = part.groupBy(id_col).agg(
+        F.countDistinct("term").alias("__nt"),
+        F.sum("cnt").alias("n_hits"),
+        F.sum(F.col("cnt") * idf).alias("__num"),
+    )
+    scored = (
+        per_doc.where(F.col("__nt") == len(q))
+        .join(dlen, id_col)
+        .withColumn("__raw", F.col("__num") / F.col("doclen"))
+    )
+    return (
+        scored.orderBy(F.col("__raw").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "n_hits", F.round("__raw", 4).alias("score"))
+    )
+
+
+def sql_search_conjunctive(
+    terms: list[str],
+    k: int = 20,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`search_conjunctive` (identical
+    tokenization, idf, aggregation order, tie-break, rounding)."""
+    q = sorted(set(terms))
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in q)
+    return f"""
+        WITH d AS (
+          SELECT {id_col}, {text_col} FROM {table}
+          WHERE {text_col} IS NOT NULL
+        ),
+        tok AS (
+          SELECT d.{id_col}, t.term
+          FROM d, unnest(string_split(d.{text_col}, ' ')) AS t(term)
+          WHERE length(t.term) > 0 AND t.term IN ({in_list})
+        ),
+        tf AS (
+          SELECT {id_col}, term, count(*) AS cnt
+          FROM tok GROUP BY {id_col}, term
+        ),
+        dfq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+        nd AS (SELECT count(*) AS n_docs FROM d),
+        dl AS (
+          SELECT {id_col},
+                 len(list_filter(string_split({text_col}, ' '),
+                                 t -> length(t) > 0)) AS doclen
+          FROM d
+        ),
+        per AS (
+          SELECT tf.{id_col},
+                 count(DISTINCT tf.term) AS nt,
+                 cast(sum(tf.cnt) as bigint) AS n_hits,
+                 sum(tf.cnt * (ln((1.0 + nd.n_docs) / (1.0 + dfq.dfreq))
+                               + 1.0)) AS num
+          FROM tf JOIN dfq USING (term) CROSS JOIN nd
+          GROUP BY tf.{id_col}
+        )
+        SELECT per.{id_col}, per.n_hits,
+               round(per.num / dl.doclen, 4) AS score
+        FROM per JOIN dl USING ({id_col})
+        WHERE per.nt = {len(q)}
+        ORDER BY (per.num / dl.doclen) DESC, per.{id_col} ASC
+        LIMIT {k}"""
