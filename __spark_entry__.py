@@ -1999,8 +1999,74 @@ def q_hilbert_encode(spark, sf):
     )
 
 
+def q_line_dedup(spark, sf):
+    """Line-level boilerplate removal (operators/lines.py — the
+    CCNet/RefinedWeb line-dedup stage): lines recurring in >= 3
+    distinct docs of the same source are chrome, dropped, and the doc
+    is reassembled in original line order.  Counting shuffles 64-bit
+    md5 line keys, never line strings; the fixture plants a per-id%7
+    nav line and a universal footer so both the shared-boilerplate and
+    kept-prose paths are exercised."""
+    from osmquadtreepostgis_spark.operators.lines import strip_boilerplate_lines
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit("\n"),
+            F.lit("nav-"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("\n(c) example corp 2026"),
+        ).alias("text"),
+    )
+    return strip_boilerplate_lines(d, min_docs=3)
+
+
+def q_lang_rebalance(spark, sf):
+    """Temperature (alpha=0.5) multilingual rebalancing
+    (operators/corpus.py rebalance_languages): per-language keep rate
+    proportional to n^alpha / n, decided by an integer ppb compare on
+    the portable md5 coin — one tiny histogram agg + one broadcast
+    join; the corpus is never shuffled."""
+    from osmquadtreepostgis_spark.operators.corpus import rebalance_languages
+
+    return rebalance_languages(
+        _docs(spark, sf), alpha=0.5, target_rate=0.5
+    )
+
+
+def q_split_assign(spark, sf):
+    """Leakage-safe train/val/test assignment (operators/corpus.py
+    assign_splits): the split coin hashes the document CONTENT, so
+    byte-identical duplicates co-locate in one split — pure integer
+    map, no shuffle."""
+    from osmquadtreepostgis_spark.operators.corpus import assign_splits
+
+    return assign_splits(_docs(spark, sf))
+
+
+def q_sequence_pack(spark, sf):
+    """GPT-style concat-then-chop sequence packing
+    (operators/corpus.py pack_chop_concat): per-shard token streams
+    chopped into 512-token windows via ONE window cumsum — integer
+    math end to end, shards hash-assigned so packing parallelism is
+    skew-free; complements the greedy first-fit pack_sequences
+    (pytest-pinned) with the SQL-expressible zero-padding variant."""
+    from osmquadtreepostgis_spark.operators.corpus import pack_chop_concat
+
+    d = _docs(spark, sf).select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    return pack_chop_concat(d, context_len=512, n_shards=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "line_dedup": _shipped(q_line_dedup),
+        "lang_rebalance": _shipped(q_lang_rebalance),
+        "split_assign": _shipped(q_split_assign),
+        "sequence_pack": _shipped(q_sequence_pack),
         "hilbert_encode": _shipped(q_hilbert_encode),
         "spatial_cluster": _shipped(q_spatial_cluster),
         "dedup_incremental_bloom": _shipped(q_dedup_incremental_bloom),
@@ -2551,7 +2617,33 @@ def oracle_sql() -> dict[str, str]:
         order=16,
     )
 
+    from osmquadtreepostgis_spark.operators.lines import (
+        sql_strip_boilerplate_lines,
+    )
+    from osmquadtreepostgis_spark.operators.corpus import (
+        sql_rebalance_languages,
+        sql_assign_splits,
+        sql_pack_chop_concat,
+    )
+
+    _line_docs = (
+        "SELECT doc_id, source, text || chr(10) || 'nav-' || "
+        "cast(doc_id % 7 AS varchar) || chr(10) || '(c) example corp 2026' "
+        "AS text FROM documents"
+    )
+
     sql = {
+        "line_dedup": sql_strip_boilerplate_lines(_line_docs, min_docs=3),
+        "lang_rebalance": sql_rebalance_languages(
+            "SELECT doc_id, lang FROM documents", alpha=0.5, target_rate=0.5
+        ),
+        "split_assign": sql_assign_splits("SELECT doc_id, text FROM documents"),
+        "sequence_pack": sql_pack_chop_concat(
+            "SELECT doc_id, cast(len(string_split(text, ' ')) AS bigint) "
+            "AS n_tokens FROM documents",
+            context_len=512,
+            n_shards=64,
+        ),
         "hilbert_encode": f"""
             SELECT doc_id, hilbert_d, hilbert_d >> 16 AS hilbert_tile8
             FROM ({_hilb})""",

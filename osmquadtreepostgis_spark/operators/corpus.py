@@ -18,6 +18,12 @@ __all__ = [
     "weighted_sample",
     "pack_sequences",
     "cap_per_key",
+    "rebalance_languages",
+    "sql_rebalance_languages",
+    "assign_splits",
+    "sql_assign_splits",
+    "pack_chop_concat",
+    "sql_pack_chop_concat",
 ]
 
 def quality_filter(
@@ -277,3 +283,241 @@ def weighted_sample(
             F.round(F.col("__wskey"), 6).alias("sample_key"),
         )
     )
+
+
+def _md5_mod(prefix: str, c: Column, mod: int) -> Column:
+    """Portable deterministic uniform integer in [0, mod): the same
+    60-bit-md5 idiom as :func:`weighted_sample` / sketches.md5_int64,
+    so the DuckDB twin is exact."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), c.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h % F.lit(mod)
+
+
+def _sql_md5_mod(prefix: str, expr: str, mod: int) -> str:
+    return (
+        f"cast(concat('0x', substr(md5(concat('{prefix}', "
+        f"cast({expr} as varchar))), 1, 15)) as bigint) % {mod}"
+    )
+
+
+def rebalance_languages(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target_rate: float = 0.5,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based multilingual rebalancing (the mT5/XLM-R
+    alpha-sampling rule): language l with n_l docs is kept at a rate
+    proportional to n_l^alpha instead of n_l, boosting tail languages
+    and down-sampling the head.  ``target_rate`` sets the overall
+    expected keep fraction; per-language keep rate is
+
+        r_l = min(1, (n_l^alpha / sum_m n_m^alpha) * target_rate * N / n_l)
+
+    Selection is a DETERMINISTIC per-doc coin: keep iff
+    md5(id) mod 1e9 < round(r_l * 1e9).  Rounding the threshold to an
+    integer part-per-billion grid makes the keep decision an integer
+    comparison, so engine-level float-ulp drift in the pow/sum cannot
+    flip rows (it could only move a threshold by 1 ppb, i.e. ~N/1e9
+    expected rows — zero at any test scale).
+
+    Scale shape: the language histogram is one map-side-combinable
+    groupBy (|langs| rows), the global sums are one tiny agg, the
+    per-language threshold table broadcast-joins back — the corpus
+    itself is touched by exactly one scan + one broadcast join, no
+    corpus-side shuffle.  Output: (id, lang, keep_ppb) for kept rows.
+    """
+    from pyspark.sql import Window
+
+    cnt = df.groupBy(lang_col).agg(F.count("*").alias("__n"))
+    # global sums via an unpartitioned window over the |langs|-row
+    # histogram — tiny by construction, and it sidesteps the
+    # self-join attribute ambiguity a cnt-crossJoin-agg(cnt) causes
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n_d = F.col("__n").cast("double")
+    thr = cnt.select(
+        F.col(lang_col),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.pow(n_d, F.lit(alpha))
+                / F.sum(F.pow(n_d, F.lit(alpha))).over(w_all)
+                * F.lit(target_rate)
+                * F.sum(n_d).over(w_all)
+                / n_d,
+            )
+            * F.lit(1e9)
+        )
+        .cast("long")
+        .alias("keep_ppb"),
+    )
+    coin = _md5_mod("rebal:", F.col(id_col), 1_000_000_000)
+    return (
+        df.join(F.broadcast(thr), lang_col)
+        .filter(coin < F.col("keep_ppb"))
+        .select(id_col, lang_col, "keep_ppb")
+    )
+
+
+def sql_rebalance_languages(
+    docs_sql: str,
+    alpha: float = 0.5,
+    target_rate: float = 0.5,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`rebalance_languages` — same md5 coin,
+    same ppb-rounded threshold."""
+    coin = _sql_md5_mod("rebal:", f"d.{id_col}", 1_000_000_000)
+    return f"""
+WITH __docs AS ({docs_sql}),
+__cnt AS (SELECT {lang_col}, count(*) AS __n FROM __docs GROUP BY 1),
+-- NOTE: names must differ case-INsensitively from __n (both engines
+-- resolve column names case-insensitively)
+__tot AS (SELECT sum(cast(__n AS double)) AS __ntot,
+                 sum(pow(cast(__n AS double), {alpha!r})) AS __zsum
+          FROM __cnt),
+__thr AS (
+  SELECT {lang_col},
+         cast(round(least(1.0,
+             pow(cast(__n AS double), {alpha!r}) / __zsum * {target_rate!r}
+             * __ntot / cast(__n AS double)) * 1e9) AS bigint)
+         AS keep_ppb
+  FROM __cnt, __tot
+)
+SELECT d.{id_col}, d.{lang_col}, t.keep_ppb
+FROM __docs d JOIN __thr t USING ({lang_col})
+WHERE {coin} < t.keep_ppb
+"""
+
+
+def assign_splits(
+    df: DataFrame,
+    train_mille: int = 800,
+    val_mille: int = 900,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-safe deterministic train/val/test assignment: the split
+    coin is hashed from the document CONTENT (``key_col``), not the id,
+    so byte-identical duplicates always land in the same split — the
+    cheap invariant that stops test-set leakage through surviving
+    exact dups.  (Near-dup-safe splitting composes this with
+    :func:`~..operators.cluster.dedup_clusters`: hash the cluster
+    survivor's key instead.)
+
+    Boundaries are per-mille: coin < train_mille -> train,
+    < val_mille -> val, else test.  Pure integer compare on the
+    portable md5 coin — zero float anywhere, a narrow map over the
+    corpus with no shuffle at all.  Output: (id, split, coin_mille).
+    """
+    if not (0 < train_mille < val_mille <= 1000):
+        raise ValueError("need 0 < train_mille < val_mille <= 1000")
+    coin = _md5_mod("split:", F.col(key_col), 1000)
+    return df.select(
+        F.col(id_col),
+        F.when(coin < train_mille, F.lit("train"))
+        .when(coin < val_mille, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        coin.alias("coin_mille"),
+    )
+
+
+def sql_assign_splits(
+    docs_sql: str,
+    train_mille: int = 800,
+    val_mille: int = 900,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    coin = _sql_md5_mod("split:", key_col, 1000)
+    return f"""
+SELECT {id_col},
+       CASE WHEN {coin} < {train_mille} THEN 'train'
+            WHEN {coin} < {val_mille} THEN 'val'
+            ELSE 'test' END AS split,
+       {coin} AS coin_mille
+FROM ({docs_sql})
+"""
+
+
+def pack_chop_concat(
+    df: DataFrame,
+    context_len: int,
+    n_shards: int = 1 << 10,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+) -> DataFrame:
+    """GPT-style concat-then-chop packing: within each shard, the
+    token streams of the docs (in id order) are conceptually
+    concatenated and chopped into fixed ``context_len`` windows; a doc
+    starts at global stream offset cumsum-before, so its first window
+    is floor(offset / context_len) and its in-window offset is
+    offset mod context_len.  Unlike the greedy first-fit of
+    :func:`pack_sequences` (which never splits a doc), chop-concat
+    splits docs across window boundaries — the standard LM-pretraining
+    packing with zero padding waste.
+
+    Scale shape: ONE window cumsum per shard (shuffle on the shard
+    key + in-partition sort — Spark's WindowExec), shards are
+    hash-assigned so each holds ~N/n_shards docs regardless of skew;
+    pack ids are globally unique via shard << 40.  Everything is
+    integer math in whole-stage codegen; the DuckDB twin is exact.
+
+    Output: (id, shard, pack_id, pack_offset).
+    """
+    shard = _md5_mod("shard:", F.col(id_col), n_shards)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = F.sum(F.col(count_col)).over(w) - F.col(count_col)
+    return (
+        df.select(id_col, count_col)
+        .withColumn("shard", shard)
+        .select(
+            F.col(id_col),
+            F.col("shard"),
+            (
+                (F.col("shard").cast("long") * F.lit(1 << 40))
+                + F.floor(before / F.lit(context_len))
+            ).alias("pack_id"),
+            (before % F.lit(context_len)).alias("pack_offset"),
+        )
+    )
+
+
+def sql_pack_chop_concat(
+    docs_sql: str,
+    context_len: int,
+    n_shards: int = 1 << 10,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+) -> str:
+    shard = _sql_md5_mod("shard:", id_col, n_shards)
+    return f"""
+WITH __d AS (SELECT {id_col}, {count_col}, {shard} AS shard FROM ({docs_sql})),
+__c AS (
+  SELECT *,
+         -- DuckDB windowed sum(BIGINT) is HUGEINT; pin bigint so the
+         -- % / floor results keep integer dtype like Spark's long
+         cast(sum({count_col}) OVER (PARTITION BY shard ORDER BY {id_col}
+             ROWS UNBOUNDED PRECEDING) - {count_col} AS bigint) AS __before
+  FROM __d
+)
+SELECT {id_col}, shard,
+       shard * {1 << 40} + cast(floor(cast(__before AS double) / {context_len}) AS bigint) AS pack_id,
+       __before % {context_len} AS pack_offset
+FROM __c
+"""
