@@ -2061,8 +2061,56 @@ def q_sequence_pack(spark, sf):
     return pack_chop_concat(d, context_len=512, n_shards=64)
 
 
+def q_crawl_diff(spark, sf):
+    """Crawl-snapshot delta (operators/crawl.py): full-outer equi join
+    on the canonical URL over fixed-width content fingerprints —
+    added/removed/changed/unchanged per URL, the gate that decides how
+    much of the next crawl re-enters the pipeline.  Fixture: old =
+    ids !≡2 (mod 3), new = ids !≡0 (mod 3), content changed for ids
+    ≡0 (mod 5)."""
+    from osmquadtreepostgis_spark.operators.crawl import crawl_diff
+
+    d = _docs(spark, sf)
+    url = F.concat(
+        F.lit("https://s"),
+        (F.col("doc_id") % 101).cast("string"),
+        F.lit(".example.org/p"),
+        F.col("doc_id").cast("string"),
+    )
+    old = d.filter(F.col("doc_id") % 3 != 2).select(
+        url.alias("url"), F.md5("text").alias("fingerprint")
+    )
+    new = d.filter(F.col("doc_id") % 3 != 0).select(
+        url.alias("url"),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.md5(F.concat(F.col("text"), F.lit("v2")))
+        )
+        .otherwise(F.md5("text"))
+        .alias("fingerprint"),
+    )
+    return crawl_diff(old, new)
+
+
+def q_raster_smooth(spark, sf):
+    """Box-kernel raster smoothing (operators/pyramid.py
+    smooth_raster): rasterize doc points at depth 4, scatter each cell
+    to its 3x3 neighborhood via ONE constant-array explode, aggregate
+    on the re-packed target cell, divide by the clipped in-bounds
+    kernel area — integer math + one division, bit-exact vs the
+    DuckDB twin built from the same Morton generators."""
+    from osmquadtreepostgis_spark.operators.pyramid import (
+        rasterize_points,
+        smooth_raster,
+    )
+
+    d = doc_coords(_docs(spark, sf).select("doc_id"))
+    return smooth_raster(rasterize_points(d, depth=4), depth=4, kernel=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "crawl_diff": _shipped(q_crawl_diff),
+        "raster_smooth": _shipped(q_raster_smooth),
         "line_dedup": _shipped(q_line_dedup),
         "lang_rebalance": _shipped(q_lang_rebalance),
         "split_assign": _shipped(q_split_assign),
@@ -2632,7 +2680,31 @@ def oracle_sql() -> dict[str, str]:
         "AS text FROM documents"
     )
 
+    from osmquadtreepostgis_spark.operators.crawl import sql_crawl_diff
+    from osmquadtreepostgis_spark.operators.pyramid import sql_smooth_raster
+
+    _cd_url = (
+        "'https://s' || cast(doc_id % 101 AS varchar) || '.example.org/p' "
+        "|| cast(doc_id AS varchar)"
+    )
+    _cd_old = (
+        f"SELECT {_cd_url} AS url, md5(text) AS fingerprint "
+        "FROM documents WHERE doc_id % 3 <> 2"
+    )
+    _cd_new = (
+        f"SELECT {_cd_url} AS url, "
+        "CASE WHEN doc_id % 5 = 0 THEN md5(text || 'v2') ELSE md5(text) END "
+        "AS fingerprint FROM documents WHERE doc_id % 3 <> 0"
+    )
+    _rs_raster = (
+        f"SELECT {qt.sql_point_to_cell('lon', 'lat', 4)} AS cell, "
+        f"count(*) AS n FROM (SELECT {_LON} AS lon, {_LAT} AS lat "
+        "FROM documents) GROUP BY 1"
+    )
+
     sql = {
+        "crawl_diff": sql_crawl_diff(_cd_old, _cd_new),
+        "raster_smooth": sql_smooth_raster(_rs_raster, depth=4, kernel=1),
         "line_dedup": sql_strip_boilerplate_lines(_line_docs, min_docs=3),
         "lang_rebalance": sql_rebalance_languages(
             "SELECT doc_id, lang FROM documents", alpha=0.5, target_rate=0.5

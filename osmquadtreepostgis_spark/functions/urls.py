@@ -202,10 +202,17 @@ def psl_frame(spark, rules: list[str] | None = None):
       suffix is the rule MINUS its leftmost label
 
     Tiny by construction (the full PSL is ~10k rows) — always
-    broadcast."""
-    return spark.createDataFrame(
-        _psl_rows(rules), "match string, kind string, ps_labels int"
-    )
+    broadcast.  Built as ONE partition (a 10k-row parallelize across
+    default parallelism pays 32 task launches per materialization for
+    nothing), and the rule-depth bound is precomputed driver-side and
+    stashed on the frame so :func:`with_registered_domain` skips its
+    depth-probe Spark job entirely."""
+    rows = _psl_rows(rules)
+    df = spark.createDataFrame(
+        rows, "match string, kind string, ps_labels int"
+    ).coalesce(1)
+    df._psl_max_labels = _psl_max_labels(rows)
+    return df
 
 
 def with_registered_domain(
@@ -237,15 +244,19 @@ def with_registered_domain(
     labels = F.split(F.col("__host"), r"\.")
     n = F.size(labels)
     # exception rules match at ps_labels + 1 labels; the explode must
-    # reach that deep or they (and deep plain rules) never fire
-    depth_row = psl.agg(
-        F.max(
-            F.when(F.col("kind") == "exc", F.col("ps_labels") + 1).otherwise(
-                F.col("ps_labels")
+    # reach that deep or they (and deep plain rules) never fire.
+    # psl_frame precomputes the bound driver-side; fall back to one
+    # cheap action for caller-supplied rule frames.
+    max_labels = getattr(psl, "_psl_max_labels", None)
+    if max_labels is None:
+        depth_row = psl.agg(
+            F.max(
+                F.when(F.col("kind") == "exc", F.col("ps_labels") + 1).otherwise(
+                    F.col("ps_labels")
+                )
             )
-        )
-    ).first()
-    max_labels = int(depth_row[0]) if depth_row[0] is not None else 1
+        ).first()
+        max_labels = int(depth_row[0]) if depth_row[0] is not None else 1
     maxk = F.least(n, F.lit(max_labels))
     cand = hosts.select(
         "__host",

@@ -120,6 +120,118 @@ def vectorize_cells(
     return out
 
 
+def smooth_raster(
+    df: DataFrame,
+    depth: int,
+    kernel: int = 1,
+    cell_col: str = "cell",
+    value_col: str = "n",
+) -> DataFrame:
+    """Box-kernel smoothing over a sparse cell raster — the raster
+    convolution step between :func:`rasterize_points` and
+    :func:`vectorize_cells` (heatmaps, density surfaces, hot-tile
+    detection need the blurred field, not raw counts).
+
+    Each present cell SCATTERS its value to the (2k+1)^2 grid
+    neighborhood (scatter == gather for a symmetric kernel); targets
+    aggregate ``sum(value)`` and divide by their IN-BOUNDS kernel area
+    (interior 9, edge 6, corner 4 for k=1) — the zero-padded clipped
+    box filter, with absent cells counting as 0.  Integer math plus
+    ONE final division, so the DuckDB twin is bit-exact.
+
+    Scale shape: de-interleave cell -> (x, y) via the closed-form
+    magic-mask Morton compress (pure JVM bit math), ONE explode of the
+    constant (2k+1)^2 offset array (no join against an offset table),
+    re-pack the target cell, ONE hash aggregate keyed on it — the same
+    shuffle key the raster already uses, map-side-combinable.  Rows
+    out <= (2k+1)^2 x rows in, independent of raster resolution.
+    Only targets receiving >= 1 contribution appear (sparse-raster
+    semantics; fully-zero neighborhoods stay absent).
+    """
+    from .. import quadtree as qt
+
+    n_side = 1 << depth
+    offs = [(dx, dy) for dx in range(-kernel, kernel + 1)
+            for dy in range(-kernel, kernel + 1)]
+    off_arr = F.array(
+        *[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+          for dx, dy in offs]
+    )
+    xe, ye = qt.sql_cell_to_xy(cell_col, depth)
+    scattered = (
+        df.withColumn("__x", F.expr(xe))
+        .withColumn("__y", F.expr(ye))
+        .withColumn("__o", F.explode(off_arr))
+        .select(
+            F.col(value_col).alias("__v"),
+            (F.col("__x") + F.col("__o.dx")).alias("tx"),
+            (F.col("__y") + F.col("__o.dy")).alias("ty"),
+        )
+        .filter(
+            (F.col("tx") >= 0) & (F.col("tx") < n_side)
+            & (F.col("ty") >= 0) & (F.col("ty") < n_side)
+        )
+    )
+    # in-bounds kernel area at the TARGET: closed form from (tx, ty)
+    span = lambda c: (  # noqa: E731
+        F.least(c + kernel, F.lit(n_side - 1)) - F.greatest(c - kernel, F.lit(0)) + 1
+    )
+    out = (
+        scattered.groupBy("tx", "ty")
+        .agg(F.sum("__v").alias("v_sum"))
+        .withColumn("k_area", span(F.col("tx")) * span(F.col("ty")))
+        .withColumn(
+            "v_smooth", F.col("v_sum").cast("double") / F.col("k_area")
+        )
+    )
+    return out.select(
+        F.expr(qt.sql_pack_xy("tx", "ty", depth)).alias(cell_col),
+        "tx",
+        "ty",
+        "v_sum",
+        "k_area",
+        "v_smooth",
+    )
+
+
+def sql_smooth_raster(
+    raster_sql: str,
+    depth: int,
+    kernel: int = 1,
+    cell_col: str = "cell",
+    value_col: str = "n",
+) -> str:
+    """DuckDB twin of :func:`smooth_raster` — same Morton compress /
+    pack generators, offset cross join from two range() scans."""
+    from .. import quadtree as qt
+
+    n_side = 1 << depth
+    xe, ye = qt.sql_cell_to_xy(cell_col, depth)
+    return f"""
+WITH __r AS (SELECT *, {xe} AS __x, {ye} AS __y FROM ({raster_sql})),
+__off AS (SELECT a.range AS dx, b.range AS dy
+          FROM range(-{kernel}, {kernel + 1}) a,
+               range(-{kernel}, {kernel + 1}) b),
+__sc AS (
+  SELECT {value_col} AS __v, __x + dx AS tx, __y + dy AS ty
+  FROM __r, __off
+  WHERE __x + dx >= 0 AND __x + dx < {n_side}
+    AND __y + dy >= 0 AND __y + dy < {n_side}
+),
+__agg AS (
+  SELECT tx, ty, cast(sum(__v) AS bigint) AS v_sum,
+         (least(tx + {kernel}, {n_side - 1}) - greatest(tx - {kernel}, 0) + 1)
+         * (least(ty + {kernel}, {n_side - 1}) - greatest(ty - {kernel}, 0) + 1)
+         AS k_area
+  FROM __sc GROUP BY tx, ty
+)
+SELECT {qt.sql_pack_xy('tx', 'ty', depth)} AS {cell_col},
+       tx, ty, v_sum, cast(k_area AS bigint) AS k_area,
+       cast(v_sum AS double) / k_area AS v_smooth
+FROM __agg
+"""
+
+
 def build_pyramid(
     df: DataFrame,
     levels: list[tuple[int, float | None]] | None = None,
