@@ -2061,6 +2061,26 @@ def q_sequence_pack(spark, sf):
     return pack_chop_concat(d, context_len=512, n_shards=64)
 
 
+def q_semantic_dedup(spark, sf):
+    """SemDeDup-style semantic deduplication (composition): exact
+    cosine pairs at threshold 0.4 via the distributed block-pair
+    cogroup GEMM (operators/knn.py ann_cosine_pairs_grid — the
+    LSH-banded path is the 100 TB candidate generator), transitive
+    closure via the O(log n)-round alternating-star CC
+    (operators/cluster.py), ONE survivor per semantic cluster
+    (min id).  One row per vector: (vec_id, cluster_id, cluster_size,
+    keep).  The 0.4 threshold carries >= 1e-4 margin on this fixture
+    (see q_embed_cosine_pairs), so the pair set — and therefore the
+    clustering — is identical across engines despite fp."""
+    from osmquadtreepostgis_spark.operators.cluster import resolve_duplicates
+
+    emb = load_table(spark, sf, "embeddings")
+    pairs = KNN.ann_cosine_pairs_grid(emb, threshold=0.4, block_rows=256)
+    return resolve_duplicates(
+        emb.select("vec_id"), pairs, id_col="vec_id"
+    )
+
+
 def q_crawl_diff(spark, sf):
     """Crawl-snapshot delta (operators/crawl.py): full-outer equi join
     on the canonical URL over fixed-width content fingerprints —
@@ -2109,6 +2129,7 @@ def q_raster_smooth(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "semantic_dedup": _shipped(q_semantic_dedup),
         "crawl_diff": _shipped(q_crawl_diff),
         "raster_smooth": _shipped(q_raster_smooth),
         "line_dedup": _shipped(q_line_dedup),
@@ -2703,6 +2724,27 @@ def oracle_sql() -> dict[str, str]:
     )
 
     sql = {
+        "semantic_dedup": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE {cos} >= 0.4),
+            e AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+            walk(id, r) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM e)
+              UNION
+              SELECT e.v, w.r FROM walk w JOIN e ON e.u = w.id),
+            lab AS (SELECT id, min(r) AS comp FROM walk GROUP BY id),
+            allv AS (SELECT v.vec_id,
+                            coalesce(l.comp, v.vec_id) AS cluster_id
+                     FROM embeddings v LEFT JOIN lab l ON l.id = v.vec_id),
+            sz AS (SELECT cluster_id, cast(count(*) AS bigint)
+                     AS cluster_size
+                   FROM allv GROUP BY cluster_id)
+            SELECT a.vec_id, a.cluster_id, sz.cluster_size,
+                   (a.vec_id = a.cluster_id) AS keep
+            FROM allv a JOIN sz USING (cluster_id)""",
         "crawl_diff": sql_crawl_diff(_cd_old, _cd_new),
         "raster_smooth": sql_smooth_raster(_rs_raster, depth=4, kernel=1),
         "line_dedup": sql_strip_boilerplate_lines(_line_docs, min_docs=3),

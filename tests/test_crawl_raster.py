@@ -101,3 +101,36 @@ def test_smooth_raster_cell_roundtrip(spark):
     out = smooth_raster(df, depth=depth).collect()
     for r in out:
         assert r["cell"] == _cell(spark, r["tx"], r["ty"], depth)
+
+
+def test_semantic_dedup_clusters_known_groups(spark):
+    """SemDeDup composition: cosine pairs -> CC -> one survivor.
+    Two tight direction-groups + one orthogonal singleton."""
+    from osmquadtreepostgis_spark.operators.cluster import resolve_duplicates
+    from osmquadtreepostgis_spark.operators import knn as KNN
+
+    def unit(*v):
+        s = sum(x * x for x in v) ** 0.5
+        return [float(x / s) for x in v]
+
+    rows = [
+        (0, unit(1.0, 0.02, 0.0)),
+        (1, unit(1.0, -0.02, 0.0)),
+        (2, unit(0.98, 0.05, 0.0)),
+        (10, unit(0.0, 1.0, 0.03)),
+        (11, unit(0.0, 1.0, -0.03)),
+        (20, unit(0.0, 0.0, 1.0)),  # orthogonal singleton
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = KNN.ann_cosine_pairs_grid(emb, threshold=0.9, block_rows=4)
+    out = {
+        r["vec_id"]: r
+        for r in resolve_duplicates(
+            emb.select("vec_id"), pairs, id_col="vec_id"
+        ).collect()
+    }
+    assert {v["cluster_id"] for v in out.values()} == {0, 10, 20}
+    assert out[0]["cluster_size"] == 3 and out[0]["keep"]
+    assert not out[1]["keep"] and not out[2]["keep"]
+    assert out[10]["keep"] and not out[11]["keep"]
+    assert out[20]["cluster_size"] == 1 and out[20]["keep"]
