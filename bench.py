@@ -151,6 +151,13 @@ def main() -> None:
         "robots_gate",
         "weighted_sample",
         "search_boolean",
+        "line_dedup",
+        "lang_rebalance",
+        "split_assign",
+        "sequence_pack",
+        "crawl_diff",
+        "raster_smooth",
+        "semantic_dedup",
         "decontaminate",
         "dedup_url",
         "embed_quantize",
