@@ -170,3 +170,57 @@ def test_pack_chop_concat_long_doc_spans_windows(spark):
     assert out[2] == (0, 100)
     # doc 3 starts at stream offset 2100 -> pack 4, offset 2100-4*512=52
     assert out[3] == (2100 // 512, 2100 % 512)
+
+
+def test_strip_boilerplate_identity_when_threshold_unreachable(spark):
+    """Invariant: with min_docs > corpus size nothing is boilerplate,
+    so reassembly must return every document byte-identically —
+    including messy whitespace, empty lines, and trailing newlines."""
+    texts = [
+        "plain",
+        "two\nlines",
+        "trailing newline\n",
+        "\nleading blank",
+        "a\n\n\nb",
+        "  spaces  \n\tand tabs\t",
+        "",
+        "dup\ndup\ndup",  # intra-doc repeats don't cross the doc count
+    ]
+    rows = [(i, "s", t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in strip_boilerplate_lines(df, min_docs=len(texts) + 1).collect()
+    }
+    for i, t in enumerate(texts):
+        assert out[i]["text"] == t, (i, repr(t), repr(out[i]["text"]))
+        assert out[i]["n_dropped"] == 0
+
+
+def test_pack_chop_concat_conservation(spark):
+    """Invariants: every offset < context_len; per shard the token
+    stream is gapless (cumsum reconstruction equals per-doc offsets);
+    pack ids within a shard are a contiguous range from shard<<40."""
+    rows = [(i, 1 + (i * 131) % 1000) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    ctx = 300
+    out = pack_chop_concat(df, context_len=ctx, n_shards=4).collect()
+    assert all(0 <= r["pack_offset"] < ctx for r in out)
+    toks = dict(rows)
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    total_packs = 0
+    for sh, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rs:
+            assert r["pack_id"] == (sh << 40) + cum // ctx
+            assert r["pack_offset"] == cum % ctx
+            cum += toks[r["doc_id"]]
+        n_packs = (cum + ctx - 1) // ctx
+        pack_ids = {r["pack_id"] - (sh << 40) for r in rs}
+        # every pack id is in range; first pack present
+        assert max(pack_ids) <= n_packs - 1 and 0 in pack_ids
+        total_packs += n_packs
+    assert len(out) == 400
