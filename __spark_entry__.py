@@ -2152,12 +2152,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_encode": _shipped(q_geohash_encode),
         "passage_dedup": _shipped(q_passage_dedup),
         "url_blocklist": _shipped(q_url_blocklist),
-        # NOTE on ordering: the correctness driver samples the FIRST 50
-        # entries of this dict.  Entries added late in a round are placed
-        # near the front so they receive a hard driver-oracle row at least
-        # once; long-stable entries (driver-green since r1 and pinned by the
-        # pytest sf0.001 parity suite) rotate to the tail.
-        "cell_encode": _shipped(q_cell_encode),
         "cdc_dedup": _shipped(q_cdc_dedup),
         "diverse_sample": _shipped(q_diverse_sample),
         "pii_scrub": _shipped(q_pii_scrub),
@@ -2168,6 +2162,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _shipped(q_decontaminate),
         "tfidf_keywords": _shipped(q_tfidf_keywords),
         "collocations": _shipped(q_collocations),
+        "fuzzy_name_pairs": _shipped(q_fuzzy_name_pairs),
+        "text_analysis": _shipped(q_text_analysis),
+        "quality_filter": _shipped(q_quality_filter),
+        "sample_stratified": _shipped(q_sample_stratified),
+        "multimodal_meta": _shipped(q_multimodal_meta),
+        "multimodal_frames": _shipped(q_multimodal_frames),
+        "overlay_pairs": _shipped(q_overlay_pairs),
+        "way_assembly": _shipped(q_way_assembly),
+        "parent_tags": _shipped(q_parent_tags),
+        "lowzoom_counts": _shipped(q_lowzoom_counts),
+        "json_props": _shipped(q_json_props),
+        "geom_measures": _shipped(q_geom_measures),
+        "multipolygon_parts": _shipped(q_multipolygon_parts),
+        "rollup_pricing": _shipped(q_rollup_pricing),
+        "asof_events_orders": _shipped(q_asof_events_orders),
+        "salted_tile_agg": _shipped(q_salted_tile_agg),
+        "cell_encode": _shipped(q_cell_encode),
         "sql_surface_cells": _shipped(q_sql_surface_cells),
         "pip_points_in_boxes": _shipped(q_pip_points_in_boxes),
         "pip_shuffle_cover": _shipped(q_pip_shuffle_cover),
@@ -2214,23 +2225,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_eval": _shipped(q_knn_label_eval),
         "embed_topk_ivf": _shipped(q_embed_topk_ivf),
         "fuzzy_name_lookup": _shipped(q_fuzzy_name_lookup),
-        "fuzzy_name_pairs": _shipped(q_fuzzy_name_pairs),
-        "text_analysis": _shipped(q_text_analysis),
-        "quality_filter": _shipped(q_quality_filter),
-        "sample_stratified": _shipped(q_sample_stratified),
-        "multimodal_meta": _shipped(q_multimodal_meta),
-        "multimodal_frames": _shipped(q_multimodal_frames),
-        "overlay_pairs": _shipped(q_overlay_pairs),
-        "way_assembly": _shipped(q_way_assembly),
-        "parent_tags": _shipped(q_parent_tags),
-        "lowzoom_counts": _shipped(q_lowzoom_counts),
-        "json_props": _shipped(q_json_props),
-        "geom_measures": _shipped(q_geom_measures),
-        "multipolygon_parts": _shipped(q_multipolygon_parts),
-        "rollup_pricing": _shipped(q_rollup_pricing),
-        "asof_events_orders": _shipped(q_asof_events_orders),
-        "salted_tile_agg": _shipped(q_salted_tile_agg),
-        # --- rotated to the tail (driver-green since r1; pytest-pinned) ---
         "tile_agg": _shipped(q_tile_agg),
         "dedup_exact": _shipped(q_dedup_exact),
         "html_extract": _shipped(q_html_extract),
