@@ -56,14 +56,34 @@ def _col(text) -> Column:
     return F.col(text) if isinstance(text, str) else text
 
 
+def _let(value: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``value`` ONCE per
+    row and reference the bound lambda variable many times in ``body``.
+
+    Why this exists: these signals are higher-order-function
+    expression trees, which Catalyst evaluates WITHOUT codegen or
+    common-subexpression elimination — an inlined subexpression (e.g.
+    ``split(text, ' ')``) is re-evaluated on EVERY reference, and a
+    reference inside a transform lambda means once per array element:
+    building S 2-grams via ``element_at(split(text), i+j)`` costs
+    O(S^2) split evaluations. Measured on the sf0.1 documents table
+    (5k docs, ~54 tokens): the two gram signals cost 13.3 s inlined
+    vs 0.6 s with the token array bound once (guide §4: same
+    per-task-work discipline as the UDF rules, applied to interpreted
+    Column trees). A HOF lambda variable, by contrast, is evaluated
+    once and bound, so ``transform(array(v), x -> body(x))[1]`` is an
+    exact, pure let."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def _lines(text, delim: str) -> Column:
     return F.split(_col(text), delim)
 
 
-def _grams(text, n: int) -> Column:
-    """ALL word n-grams with multiplicity (the dedup sketches use the
-    distinct variant in functions.sketches; repetition needs counts)."""
-    toks = F.split(_col(text), " ")
+def _grams_of_toks(toks: Column, n: int) -> Column:
+    """n-grams (with multiplicity) over a BOUND token-array variable —
+    safe to reference ``toks`` per element only because the caller
+    binds it via :func:`_let` (or a materialized column)."""
     k = F.size(toks)
     idx = F.when(k >= n, F.sequence(F.lit(1), k - (n - 1))).otherwise(
         F.array().cast("array<int>")
@@ -74,11 +94,27 @@ def _grams(text, n: int) -> Column:
     )
 
 
+def _grams(text, n: int) -> Column:
+    """ALL word n-grams with multiplicity (the dedup sketches use the
+    distinct variant in functions.sketches; repetition needs counts).
+    The token array is let-bound so the split runs once per row, not
+    once per element access (see :func:`_let`)."""
+    return _let(
+        F.split(_col(text), " "), lambda toks: _grams_of_toks(toks, n)
+    )
+
+
 def _dup_frac(arr: Column) -> Column:
-    n = F.size(arr)
-    return F.when(
-        n > 0, (n - F.size(F.array_distinct(arr))) / n.cast("double")
-    ).otherwise(F.lit(0.0))
+    # bind arr: it is referenced three times below, and evaluating a
+    # gram expression per reference is the O(S^2)-per-reference trap
+    # _let documents
+    return _let(
+        arr,
+        lambda a: F.when(
+            F.size(a) > 0,
+            (F.size(a) - F.size(F.array_distinct(a))) / F.size(a).cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )
 
 
 def dup_line_frac(text, line_delim: str = "\n") -> Column:
@@ -150,16 +186,20 @@ def _max_run(arr: Column) -> Column:
 
 def dup_line_char_frac(text, line_delim: str = "\n") -> Column:
     """Fraction of characters in lines occurring more than once."""
-    lines = _lines(text, line_delim)
-    dup_chars = _dup_run_sum(lines, lambda run, prev: run * F.length(prev))
-    total = F.aggregate(
-        F.transform(lines, F.length),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    return F.when(total > 0, dup_chars / total.cast("double")).otherwise(
-        F.lit(0.0)
-    )
+
+    def body(lines: Column) -> Column:
+        dup_chars = _dup_run_sum(lines, lambda run, prev: run * F.length(prev))
+        total = F.aggregate(
+            F.transform(lines, F.length),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        return F.when(total > 0, dup_chars / total.cast("double")).otherwise(
+            F.lit(0.0)
+        )
+
+    # lines referenced twice (dup_chars + total): bind the split once
+    return _let(_lines(text, line_delim), body)
 
 
 def top_ngram_frac(text, n: int = 2) -> Column:
