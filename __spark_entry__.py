@@ -39,6 +39,7 @@ from osmquadtreepostgis_spark.plans.pipeline import (
     TILE_DEPTH,
     doc_coords,
     documents_pipeline,
+    fanout_small_scan,
     load_table,
     sql_doc_coords,
 )
@@ -84,7 +85,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _docs(spark, sf):
-    return load_table(spark, sf, "documents")
+    # single-row-group scans serialize all fused per-row work onto one
+    # task; fan out up to the session's parallelism (no-op at scale —
+    # see plans.pipeline.fanout_small_scan)
+    return fanout_small_scan(load_table(spark, sf, "documents"))
 
 
 def _utc(spark):
@@ -949,12 +953,12 @@ def q_embed_cosine_pairs(spark, sf):
     checked result non-empty at every SF (59 pairs at sf0.01, 920 at
     sf0.1) with >= 1e-4 margin to the nearest pair, so cross-engine fp
     jitter cannot flip a row."""
-    emb = load_table(spark, sf, "embeddings")
+    emb = fanout_small_scan(load_table(spark, sf, "embeddings"))
     return KNN.ann_cosine_pairs_grid(emb, threshold=0.4, block_rows=256)
 
 
 def q_embed_topk(spark, sf):
-    emb = load_table(spark, sf, "embeddings")
+    emb = fanout_small_scan(load_table(spark, sf, "embeddings"))
     q = (
         emb.filter(F.col("vec_id") < 5)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
@@ -977,7 +981,7 @@ def q_embed_quantize(spark, sf):
         quantize_scale_micro,
     )
 
-    emb = load_table(spark, sf, "embeddings")
+    emb = fanout_small_scan(load_table(spark, sf, "embeddings"))
     q = quantize_embedding_int8("embedding")
     zero = F.lit(0).cast("long")
     return emb.select(
@@ -1019,7 +1023,7 @@ def q_knn_label_eval(spark, sf):
     per query: predicted vs true label. The vote is pure counting, so
     the only fp surface is the top-k ordering embed_topk already
     pins."""
-    emb = load_table(spark, sf, "embeddings")
+    emb = fanout_small_scan(load_table(spark, sf, "embeddings"))
     q = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -1054,7 +1058,7 @@ def q_embed_topk_ivf(spark, sf):
     so the brute-force oracle is the true answer (recall 1.0 by
     construction, not by measurement). VERDICT r2 next-round #3; the
     approximate configs' recall stays pytest-pinned."""
-    emb = load_table(spark, sf, "embeddings")
+    emb = fanout_small_scan(load_table(spark, sf, "embeddings"))
     q = (
         emb.filter(F.col("vec_id") < 5)
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
@@ -1137,7 +1141,7 @@ def q_diverse_sample(spark, sf):
     from osmquadtreepostgis_spark.functions.embed import hyperplane_bucket
     from osmquadtreepostgis_spark.operators.corpus import cap_per_key
 
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+    emb = fanout_small_scan(spark.read.parquet(f"{sf}/embeddings.parquet")).select(
         "vec_id", hyperplane_bucket("embedding").alias("bucket")
     )
     return cap_per_key(
@@ -2074,7 +2078,7 @@ def q_semantic_dedup(spark, sf):
     clustering — is identical across engines despite fp."""
     from osmquadtreepostgis_spark.operators.cluster import resolve_duplicates
 
-    emb = load_table(spark, sf, "embeddings")
+    emb = fanout_small_scan(load_table(spark, sf, "embeddings"))
     pairs = KNN.ann_cosine_pairs_grid(emb, threshold=0.4, block_rows=256)
     return resolve_duplicates(
         emb.select("vec_id"), pairs, id_col="vec_id"

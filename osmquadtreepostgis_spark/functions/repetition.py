@@ -57,23 +57,13 @@ def _col(text) -> Column:
 
 
 def _let(value: Column, body) -> Column:
-    """Let-binding for Column expressions: evaluate ``value`` ONCE per
-    row and reference the bound lambda variable many times in ``body``.
+    """Let-binding for Column expressions — canonical implementation
+    and rationale in :func:`..functions.sketches.let_`. Measured here:
+    the two gram rule signals over sf0.1 documents cost 13.3 s with
+    the token split inlined vs 1.2 s bound."""
+    from .sketches import let_
 
-    Why this exists: these signals are higher-order-function
-    expression trees, which Catalyst evaluates WITHOUT codegen or
-    common-subexpression elimination — an inlined subexpression (e.g.
-    ``split(text, ' ')``) is re-evaluated on EVERY reference, and a
-    reference inside a transform lambda means once per array element:
-    building S 2-grams via ``element_at(split(text), i+j)`` costs
-    O(S^2) split evaluations. Measured on the sf0.1 documents table
-    (5k docs, ~54 tokens): the two gram signals cost 13.3 s inlined
-    vs 0.6 s with the token array bound once (guide §4: same
-    per-task-work discipline as the UDF rules, applied to interpreted
-    Column trees). A HOF lambda variable, by contrast, is evaluated
-    once and bound, so ``transform(array(v), x -> body(x))[1]`` is an
-    exact, pure let."""
-    return F.element_at(F.transform(F.array(value), body), 1)
+    return let_(value, body)
 
 
 def _lines(text, delim: str) -> Column:

@@ -69,11 +69,29 @@ def sql_md5_int64(expr: str) -> str:
     return f"cast(concat('0x', substr(md5({expr}), 1, 15)) as bigint)"
 
 
-def word_shingles_tokens(toks: Column, n: int = 3) -> Column:
-    """Distinct n-gram shingles over an ALREADY-MATERIALIZED token
-    array column. Prefer this on hot paths: inlining split() inside
-    the shingle expression re-evaluates it per element access
-    (measured 6.8s vs ~1s for 5000 docs)."""
+def let_(value: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``value`` ONCE per
+    row, reference the bound lambda variable freely in ``body``.
+
+    HOF expression trees are interpreted (no codegen, no common-
+    subexpression elimination), so an inlined subexpression such as
+    ``split(text, ' ')`` is re-evaluated on EVERY reference — and a
+    reference inside a per-element lambda means once per element:
+    n-gram building via ``element_at(split(text), i+j)`` costs O(S·n)
+    split evaluations, O(S²·n) string work per row. Materializing the
+    tokens in a separate projection does NOT fix this reliably:
+    Catalyst's CollapseProject re-inlines the projection into the
+    consumer (measured: the r5 shingle explode cost 0.7 ms/doc —
+    36 s/50k docs — because of exactly that re-inlining). A HOF lambda
+    VARIABLE, by contrast, is evaluated once and bound, so
+    ``transform(array(v), x -> body(x))[1]`` is an exact, pure let
+    that survives every optimizer rewrite."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def _word_shingles_of(toks: Column, n: int) -> Column:
+    """Shingle builder over a BOUND token-array variable (callers must
+    let-bind ``toks``; see :func:`let_`)."""
     k = F.size(toks)
     # guard: sequence(1, 0) DESCENDS in Spark; short texts get no shingles
     idx = F.when(k >= n, F.sequence(F.lit(1), k - (n - 1))).otherwise(
@@ -86,6 +104,14 @@ def word_shingles_tokens(toks: Column, n: int = 3) -> Column:
         ),
     )
     return F.array_distinct(grams)
+
+
+def word_shingles_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingles over a token array expression. The
+    token array is let-bound internally (:func:`let_`), so it is safe
+    — and equally fast — to pass either a materialized column or a raw
+    ``split(...)`` expression."""
+    return let_(toks, lambda tk: _word_shingles_of(tk, n))
 
 
 def word_shingles(text, n: int = 3) -> Column:

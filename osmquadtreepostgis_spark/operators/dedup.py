@@ -83,15 +83,16 @@ def ngram_jaccard_pairs(
     longer emit df^2 join rows (VERDICT r1 what's-wrong #6).
 
     Exact verification happens inline: each prefix row carries the
-    doc's (distinct) shingle array; the intersection is
-    size(array_intersect) — no second join. A pair sharing several
-    prefix shingles is kept only on the lexicographically smallest
-    shared one (computable from the two prefix arrays), so there is no
-    dropDuplicates shuffle.
+    doc's (distinct) shingle set as a sorted array of GLOBAL RANKS
+    (int64, df-ascending order — :func:`_rank_frame`); the
+    intersection is size(array_intersect) on longs — no second join.
+    A pair sharing several prefix shingles is kept only on the
+    rank-smallest shared one (sliced from the two rank arrays), so
+    there is no dropDuplicates shuffle.
 
-    Shuffles: shingle-key exchange (df count, window), doc-key exchange
-    (prefix rank), pair equi-join on prefix shingles. All keys are
-    content-derived; no driver state.
+    Shuffles: shingle-key exchange (df count), rank range exchange
+    (vocab-sized), rank equi-join + doc-key aggregate, pair equi-join
+    on prefix ranks. All keys are content-derived; no driver state.
     """
     toks = df.select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks")
@@ -100,30 +101,80 @@ def ngram_jaccard_pairs(
     return set_jaccard_pairs(sh, threshold)
 
 
-def _prefix_frame(sets: DataFrame, dfcnt: DataFrame, threshold: float) -> DataFrame:
-    """Prefix-exploded frame (id, __size, __pref, __shfull, __s) of a
-    (id, __sh) set frame under the df-ascending global element order
-    given by ``dfcnt`` (__s, __df). Shared by the self-join
-    (:func:`set_jaccard_pairs`) and the bipartite probe/index join
-    (:func:`set_jaccard_join`) — the order MUST come from the same
-    dfcnt on both sides of a join for the prefix-filter argument to
-    hold."""
+def _rank_frame(dfcnt: DataFrame) -> DataFrame:
+    """(__s, __rk): dense int64 rank of every distinct element under
+    the global (document-frequency asc, element asc) total order given
+    by ``dfcnt`` (__s, __df).
+
+    Replacing each string shingle with its rank is the r6 shuffle-
+    bytes optimization (guide §2.3 "narrower types"): every downstream
+    array / join key becomes an int64 instead of a ~20-byte string,
+    the per-candidate array_intersect compares longs instead of
+    strings, and the rank ORDER ITSELF encodes the df-ascending prefix
+    order, so prefixes are plain ``slice`` calls instead of a second
+    carried array. The rank is a bijection (elements are distinct in
+    dfcnt), so set sizes and intersection sizes — and therefore every
+    emitted Jaccard — are EXACTLY the string-set values.
+
+    Exact global rank without a single giant sort partition: range-
+    repartition by the order key (per-partition key ranges are
+    disjoint and ordered by partition id, under AQE too — coalescing
+    merges only adjacent ranges), rank within each partition, then add
+    per-partition row-count offsets (one tiny collect). The rank value
+    is boundary-independent: it equals the number of elements ordered
+    before, whatever the sampled range bounds were."""
+    p = dfcnt.repartitionByRange("__df", "__s").withColumn(
+        "__part", F.spark_partition_id()
+    )
+    # pin the partitioning: the offsets collect below and the ranked
+    # output must read the SAME materialized partitions
+    p = p.localCheckpoint(eager=True)
+    cnts = {
+        r["__part"]: r["cnt"]
+        for r in p.groupBy("__part").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offs: dict[int, int] = {}
+    run = 0
+    for pid in sorted(cnts):
+        offs[pid] = run
+        run += cnts[pid]
+    if not offs:
+        return p.select("__s", F.lit(0).cast("long").alias("__rk")).limit(0)
+    omap = F.create_map(
+        *[F.lit(x) for kv in offs.items() for x in kv]
+    )
+    w = Window.partitionBy("__part").orderBy("__df", "__s")
+    return p.select(
+        "__s",
+        (F.row_number().over(w).cast("long") + omap[F.col("__part")]).alias(
+            "__rk"
+        ),
+    )
+
+
+def _prefix_frame(sets: DataFrame, rankf: DataFrame, threshold: float) -> DataFrame:
+    """Per-doc rank-array frame (id, __size, __shfull) of a (id, __sh)
+    set frame under the shared global element order ``rankf``
+    (:func:`_rank_frame`): __shfull is the doc's element RANKS sorted
+    ascending, so the AllPairs prefix of length
+    ``|X| - ceil(t*|X|) + 1`` is ``slice(__shfull, 1, plen)`` — no
+    second array is carried through the shuffle. Shared by the
+    self-join (:func:`set_jaccard_pairs`) and the bipartite
+    probe/index join (:func:`set_jaccard_join`) — the order MUST come
+    from the same rank frame on both sides of a join for the
+    prefix-filter argument to hold."""
     sh = sets.select("id", "__sh").withColumn("__size", F.size("__sh"))
     ex = sh.select("id", "__size", F.explode("__sh").alias("__s"))
-    exdf = ex.join(dfcnt, "__s")
-    wdoc = Window.partitionBy("id").orderBy(F.col("__df").asc(), F.col("__s").asc())
-    plen = F.col("__size") - F.ceil(F.lit(threshold) * F.col("__size")) + 1
     return (
-        exdf.withColumn("__rk", F.row_number().over(wdoc))
+        ex.join(rankf, "__s")
         .groupBy("id", "__size")
-        .agg(
-            F.collect_list(
-                F.when(F.col("__rk") <= plen, F.col("__s"))
-            ).alias("__pref"),
-            F.collect_list("__s").alias("__shfull"),
-        )
-        .select("id", "__size", "__pref", "__shfull", F.explode("__pref").alias("__s"))
+        .agg(F.array_sort(F.collect_list("__rk")).alias("__shfull"))
     )
+
+
+def _prefix_len(size_col, threshold: float):
+    """AllPairs prefix length |X| - ceil(t*|X|) + 1 as a Column."""
+    return size_col - F.ceil(F.lit(threshold) * size_col) + 1
 
 
 def set_jaccard_pairs(sets: DataFrame, threshold: float) -> DataFrame:
@@ -139,31 +190,38 @@ def set_jaccard_pairs(sets: DataFrame, threshold: float) -> DataFrame:
     # be AQE-split, so a stop-phrase shingle with 10^8+ occurrences
     # would land in one task at web scale. The groupBy gets map-side
     # partial aggregation and the join is AQE-skew-splittable
-    # (VERDICT r2 what's-wrong #1). Inside _prefix_frame, the rank
-    # window is per-doc (id-partitioned — splittable by construction)
-    # and ONE collect_list aggregation gathers both the prefix and the
-    # full array (collect_list skips nulls), so there is no join back
-    # to the source.
+    # (VERDICT r2 what's-wrong #1). dfcnt is checkpointed so the
+    # range-sampling pass inside _rank_frame does not re-run it.
     ex = sets.select("id", F.explode("__sh").alias("__s"))
-    dfcnt = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
-    pref = _prefix_frame(sets, dfcnt, threshold)
-    # Explicit shuffle on the shingle key. collect_list is
-    # non-deterministic to Catalyst, which defeats ReuseExchange, so
-    # each self-join side re-runs the df+rank pipeline — measured
-    # CHEAPER than cache()-materializing the exchange (the prefix rows
-    # carry two array payloads; caching them doubled the query time)
-    prefex = pref.repartition("__s")
-    a = prefex.select(
+    dfcnt = (
+        ex.groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .localCheckpoint(eager=True)
+    )
+    rankf = _rank_frame(dfcnt)
+    # r6: the per-doc rank-array frame is materialized ONCE
+    # (localCheckpoint) and both self-join arms read it — the old
+    # shape re-ran the whole df+window+collect pipeline per arm
+    # because collect_list defeats ReuseExchange. With ranks instead
+    # of strings the materialized frame is one int64 array per doc
+    # (~8 bytes/shingle vs ~2 string arrays at ~20 bytes/shingle), so
+    # the barrier that used to double the query time now costs a few
+    # MB per million docs (guide §2.3 / §2.4).
+    arr = _prefix_frame(sets, rankf, threshold).localCheckpoint(eager=True)
+    plen = _prefix_len(F.col("__size"), threshold)
+    pref = arr.select(
+        "id", "__size", "__shfull",
+        F.explode(F.slice("__shfull", F.lit(1), plen)).alias("__s"),
+    )
+    a = pref.select(
         F.col("id").alias("id_a"),
         F.col("__size").alias("__sa"),
-        F.col("__pref").alias("__pa"),
         F.col("__shfull").alias("__fa"),
         "__s",
     )
-    b = prefex.select(
+    b = pref.select(
         F.col("id").alias("id_b"),
         F.col("__size").alias("__sb"),
-        F.col("__pref").alias("__pb"),
         F.col("__shfull").alias("__fb"),
         "__s",
     )
@@ -171,9 +229,17 @@ def set_jaccard_pairs(sets: DataFrame, threshold: float) -> DataFrame:
     size_ok = (F.col("__sa") >= threshold * F.col("__sb")) & (
         F.col("__sb") >= threshold * F.col("__sa")
     )
-    # first-shared-prefix-shingle dedup (no extra shuffle): keep the
-    # joined row only where __s is the smallest shared prefix shingle
-    first_shared = F.array_min(F.array_intersect("__pa", "__pb"))
+    # first-shared-prefix-element dedup (no extra shuffle): keep the
+    # joined row only where __s is the smallest shared prefix rank;
+    # prefixes are re-sliced from the sorted rank array — same SET as
+    # the old carried __pref, chosen canonical element differs only in
+    # which duplicate join row survives, never in the emitted pair
+    first_shared = F.array_min(
+        F.array_intersect(
+            F.slice("__fa", F.lit(1), _prefix_len(F.col("__sa"), threshold)),
+            F.slice("__fb", F.lit(1), _prefix_len(F.col("__sb"), threshold)),
+        )
+    )
     cand = a.join(b, "__s").filter(
         (F.col("id_a") < F.col("id_b")) & size_ok & (F.col("__s") == first_shared)
     )
@@ -200,35 +266,42 @@ def set_jaccard_join(
 
     The prefix-filter global order MUST be shared by both sides, so
     document frequency is counted over the UNION of element
-    occurrences; both prefix frames are then built against that one
-    dfcnt. Same exactness argument as :func:`set_jaccard_pairs`; the
-    first-shared-prefix-element dedup keeps each qualifying pair
-    exactly once with no dropDuplicates shuffle."""
+    occurrences; both rank-array frames are then built against that
+    one rank frame (:func:`_rank_frame`). Same exactness argument as
+    :func:`set_jaccard_pairs`; the first-shared-prefix-element dedup
+    keeps each qualifying pair exactly once with no dropDuplicates
+    shuffle."""
     exp = probe.select("id", F.explode("__sh").alias("__s"))
     exx = index.select("id", F.explode("__sh").alias("__s"))
     dfcnt = (
         exp.unionByName(exx)
         .groupBy("__s")
         .agg(F.count(F.lit(1)).alias("__df"))
+        .localCheckpoint(eager=True)
     )
-    a = _prefix_frame(probe, dfcnt, threshold).select(
-        F.col("id").alias("id_p"),
-        F.col("__size").alias("__sa"),
-        F.col("__pref").alias("__pa"),
-        F.col("__shfull").alias("__fa"),
-        "__s",
-    )
-    b = _prefix_frame(index, dfcnt, threshold).select(
-        F.col("id").alias("id_x"),
-        F.col("__size").alias("__sb"),
-        F.col("__pref").alias("__pb"),
-        F.col("__shfull").alias("__fb"),
-        "__s",
-    )
+    rankf = _rank_frame(dfcnt)
+
+    def _pref(sets: DataFrame, out_id: str, s_col: str, f_col: str) -> DataFrame:
+        arr = _prefix_frame(sets, rankf, threshold)
+        plen = _prefix_len(F.col("__size"), threshold)
+        return arr.select(
+            F.col("id").alias(out_id),
+            F.col("__size").alias(s_col),
+            F.col("__shfull").alias(f_col),
+            F.explode(F.slice("__shfull", F.lit(1), plen)).alias("__s"),
+        )
+
+    a = _pref(probe, "id_p", "__sa", "__fa")
+    b = _pref(index, "id_x", "__sb", "__fb")
     size_ok = (F.col("__sa") >= threshold * F.col("__sb")) & (
         F.col("__sb") >= threshold * F.col("__sa")
     )
-    first_shared = F.array_min(F.array_intersect("__pa", "__pb"))
+    first_shared = F.array_min(
+        F.array_intersect(
+            F.slice("__fa", F.lit(1), _prefix_len(F.col("__sa"), threshold)),
+            F.slice("__fb", F.lit(1), _prefix_len(F.col("__sb"), threshold)),
+        )
+    )
     cand = a.join(b, "__s").filter(size_ok & (F.col("__s") == first_shared))
     inter = F.size(F.array_intersect("__fa", "__fb"))
     j = inter / (F.col("__sa") + F.col("__sb") - inter)
@@ -375,6 +448,30 @@ def dedup_against(
     )
 
 
+def _pos_gram_structs(toks_expr, n: int):
+    """array<struct<pos,g>> of positional word n-grams, with the token
+    array let-bound (:func:`..functions.sketches.let_`) so the split
+    evaluates once per row regardless of optimizer inlining."""
+    from ..functions.sketches import let_
+
+    def body(toks):
+        k = F.size(toks)
+        idx = F.when(k >= n, F.sequence(F.lit(1), k - (n - 1))).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                ).alias("g"),
+            ),
+        )
+
+    return let_(toks_expr, body)
+
+
 def duplicate_spans(
     df: DataFrame,
     n: int = 5,
@@ -401,25 +498,14 @@ def duplicate_spans(
     count side is map-side-combined). Span merge via an id-partitioned
     window. No driver state.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks")
-    )
-    k = F.size("__toks")
-    idx = F.when(k >= n, F.sequence(F.lit(1), k - (n - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    grams = F.transform(
-        idx,
-        lambda i: F.struct(
-            i.cast("long").alias("pos"),
-            F.concat_ws(
-                " ", *[F.element_at("__toks", i + j) for j in range(n)]
-            ).alias("g"),
-        ),
-    )
-    ex = toks.select("id", F.explode(grams).alias("t")).select(
-        "id", F.col("t.pos").alias("pos"), F.col("t.g").alias("g")
-    )
+    # positional grams over a LET-BOUND token array (sketches.let_):
+    # a projection-materialized __toks column gets re-inlined by
+    # CollapseProject, turning each element_at back into a full split
+    # per reference — O(S^2·n) string work per row
+    grams = _pos_gram_structs(F.split(F.col(text_col), " "), n)
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("t")
+    ).select("id", F.col("t.pos").alias("pos"), F.col("t.g").alias("g"))
     dup_grams = (
         ex.groupBy("g")
         .agg(F.count(F.lit(1)).alias("__cnt"))
@@ -494,21 +580,8 @@ def decontaminate(
     """
     def _pos_grams(d: DataFrame, tcol: str, with_id: bool) -> DataFrame:
         cols = [F.col(id_col).alias("id")] if with_id else []
-        toks = d.select(*cols, F.split(F.col(tcol), " ").alias("__toks"))
-        k = F.size("__toks")
-        idx = F.when(k >= n, F.sequence(F.lit(1), k - (n - 1))).otherwise(
-            F.array().cast("array<int>")
-        )
-        grams = F.transform(
-            idx,
-            lambda i: F.struct(
-                i.cast("long").alias("pos"),
-                F.concat_ws(
-                    " ", *[F.element_at("__toks", i + j) for j in range(n)]
-                ).alias("g"),
-            ),
-        )
-        out = toks.select(*(["id"] if with_id else []), F.explode(grams).alias("t"))
+        grams = _pos_gram_structs(F.split(F.col(tcol), " "), n)
+        out = d.select(*cols, F.explode(grams).alias("t"))
         keep_cols = (["id"] if with_id else []) + [
             F.col("t.pos").alias("pos"),
             F.col("t.g").alias("g"),
