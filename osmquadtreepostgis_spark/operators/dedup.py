@@ -266,42 +266,62 @@ def set_jaccard_join(
 
     The prefix-filter global order MUST be shared by both sides, so
     document frequency is counted over the UNION of element
-    occurrences; both rank-array frames are then built against that
-    one rank frame (:func:`_rank_frame`). Same exactness argument as
-    :func:`set_jaccard_pairs`; the first-shared-prefix-element dedup
-    keeps each qualifying pair exactly once with no dropDuplicates
-    shuffle."""
+    occurrences; both prefix frames are then built against that one
+    dfcnt. Same exactness argument as :func:`set_jaccard_pairs`; the
+    first-shared-prefix-element dedup keeps each qualifying pair
+    exactly once with no dropDuplicates shuffle.
+
+    Deliberately NOT the rank-array shape of the self-join (r6): this
+    path stays string-keyed and fully LAZY. The A/B at sf1.0 measured
+    the two shapes equal when actually evaluated (7.5 s vs 7.7 s —
+    the index side is small in every composition, so the candidate
+    join never dominates), and the lazy shape keeps two properties
+    the rank machinery's materialization barriers would destroy: (a)
+    callers that only need the probe-side cardinality (e.g. a count
+    over :func:`dedup_against`'s left join, whose right side is
+    key-unique and thus join-eliminated by Catalyst) skip the whole
+    pipeline; (b) per-element determinism makes the independent
+    re-evaluation of the two sides consistent without any barrier."""
     exp = probe.select("id", F.explode("__sh").alias("__s"))
     exx = index.select("id", F.explode("__sh").alias("__s"))
     dfcnt = (
         exp.unionByName(exx)
         .groupBy("__s")
         .agg(F.count(F.lit(1)).alias("__df"))
-        .localCheckpoint(eager=True)
     )
-    rankf = _rank_frame(dfcnt)
 
-    def _pref(sets: DataFrame, out_id: str, s_col: str, f_col: str) -> DataFrame:
-        arr = _prefix_frame(sets, rankf, threshold)
+    def _pref(sets: DataFrame, out_id: str, s_col: str, p_col: str, f_col: str) -> DataFrame:
+        sh = sets.select("id", "__sh").withColumn("__size", F.size("__sh"))
+        ex = sh.select("id", "__size", F.explode("__sh").alias("__s"))
+        exdf = ex.join(dfcnt, "__s")
+        wdoc = Window.partitionBy("id").orderBy(
+            F.col("__df").asc(), F.col("__s").asc()
+        )
         plen = _prefix_len(F.col("__size"), threshold)
-        return arr.select(
-            F.col("id").alias(out_id),
-            F.col("__size").alias(s_col),
-            F.col("__shfull").alias(f_col),
-            F.explode(F.slice("__shfull", F.lit(1), plen)).alias("__s"),
+        return (
+            exdf.withColumn("__rk", F.row_number().over(wdoc))
+            .groupBy("id", "__size")
+            .agg(
+                F.collect_list(
+                    F.when(F.col("__rk") <= plen, F.col("__s"))
+                ).alias("__pref"),
+                F.collect_list("__s").alias("__shfull"),
+            )
+            .select(
+                F.col("id").alias(out_id),
+                F.col("__size").alias(s_col),
+                F.col("__pref").alias(p_col),
+                F.col("__shfull").alias(f_col),
+                F.explode("__pref").alias("__s"),
+            )
         )
 
-    a = _pref(probe, "id_p", "__sa", "__fa")
-    b = _pref(index, "id_x", "__sb", "__fb")
+    a = _pref(probe, "id_p", "__sa", "__pa", "__fa")
+    b = _pref(index, "id_x", "__sb", "__pb", "__fb")
     size_ok = (F.col("__sa") >= threshold * F.col("__sb")) & (
         F.col("__sb") >= threshold * F.col("__sa")
     )
-    first_shared = F.array_min(
-        F.array_intersect(
-            F.slice("__fa", F.lit(1), _prefix_len(F.col("__sa"), threshold)),
-            F.slice("__fb", F.lit(1), _prefix_len(F.col("__sb"), threshold)),
-        )
-    )
+    first_shared = F.array_min(F.array_intersect("__pa", "__pb"))
     cand = a.join(b, "__s").filter(size_ok & (F.col("__s") == first_shared))
     inter = F.size(F.array_intersect("__fa", "__fb"))
     j = inter / (F.col("__sa") + F.col("__sb") - inter)
