@@ -512,7 +512,7 @@ def q_text_near_dup(spark, sf):
     emb = hash_embeddings_frame(_docs(spark, sf), dim=64).select(
         F.col("doc_id").alias("vec_id"), "embedding"
     )
-    pairs = KNN.ann_cosine_pairs_grid(emb, threshold=0.9199, block_rows=256)
+    pairs = KNN.ann_cosine_pairs_grid(emb, threshold=0.9199, block_rows=3072)
     return pairs.filter(F.col("cos_sim") >= 0.92)
 
 
@@ -536,7 +536,7 @@ def q_image_near_dup(spark, sf):
     emb = byte_histogram_features(d, dim=64).select(
         F.col("doc_id").alias("vec_id"), F.col("features").alias("embedding")
     )
-    pairs = KNN.ann_cosine_pairs_grid(emb, threshold=0.9994, block_rows=512)
+    pairs = KNN.ann_cosine_pairs_grid(emb, threshold=0.9994, block_rows=3072)
     return pairs.filter(F.col("cos_sim") >= 0.9995)
 
 
@@ -954,7 +954,7 @@ def q_embed_cosine_pairs(spark, sf):
     sf0.1) with >= 1e-4 margin to the nearest pair, so cross-engine fp
     jitter cannot flip a row."""
     emb = fanout_small_scan(load_table(spark, sf, "embeddings"))
-    return KNN.ann_cosine_pairs_grid(emb, threshold=0.4, block_rows=256)
+    return KNN.ann_cosine_pairs_grid(emb, threshold=0.4, block_rows=2048)
 
 
 def q_embed_topk(spark, sf):
@@ -2079,7 +2079,7 @@ def q_semantic_dedup(spark, sf):
     from osmquadtreepostgis_spark.operators.cluster import resolve_duplicates
 
     emb = fanout_small_scan(load_table(spark, sf, "embeddings"))
-    pairs = KNN.ann_cosine_pairs_grid(emb, threshold=0.4, block_rows=256)
+    pairs = KNN.ann_cosine_pairs_grid(emb, threshold=0.4, block_rows=2048)
     return resolve_duplicates(
         emb.select("vec_id"), pairs, id_col="vec_id"
     )
