@@ -706,19 +706,25 @@ def _minhash_sig_frame(
 
 
 def _band_structs(n_hashes: int, bands: int):
+    """Per-band bucket keys. The bucket is xxhash64 over the band's
+    signature rows (an int64), not a concatenated string (r6): the
+    join key shrinks ~4x, and the expression tree is one hash call per
+    band instead of a concat_ws of casts — with threshold-derived
+    geometries (104 bands at t=0.5) the string version dominated PLAN
+    COMPILATION time. Bucket collisions across different signature
+    values can only ADD candidate rows, never remove one, and every
+    consumer re-checks real signature equality (first-shared-band
+    predicate) or exact Jaccard downstream, so outputs are unchanged."""
     rows_per_band = n_hashes // bands
     return F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band"),
-                F.concat_ws(
-                    ",",
+                F.xxhash64(
                     *[
-                        F.element_at(F.col("__sig"), bi * rows_per_band + ri + 1).cast(
-                            "string"
-                        )
+                        F.element_at(F.col("__sig"), bi * rows_per_band + ri + 1)
                         for ri in range(rows_per_band)
-                    ],
+                    ]
                 ).alias("bucket"),
             )
             for bi in range(bands)
