@@ -2132,6 +2132,10 @@ def q_raster_smooth(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE: entry ORDER is load-bearing — the correctness driver
+    # samples the FIRST 50 entries each round, so the registry is
+    # rotated per round to keep every entry inside a recent sample
+    # window (see COVERAGE.md; ADVICE r5 asked for this note back).
     return {
         "semantic_dedup": _shipped(q_semantic_dedup),
         "crawl_diff": _shipped(q_crawl_diff),

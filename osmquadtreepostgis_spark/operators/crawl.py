@@ -33,7 +33,15 @@ def crawl_diff(
 ) -> DataFrame:
     """One row per URL present in either snapshot:
     (url, status, old_fp, new_fp) with status in
-    {'added','removed','changed','unchanged'}."""
+    {'added','removed','changed','unchanged'}.
+
+    Precondition: fingerprints are NON-NULL for rows present in a
+    snapshot (ADVICE r5). Presence is inferred from fp nullness after
+    the full-outer join, so a URL present in both snapshots with a
+    NULL old_fp would read 'added' (NULL new_fp: 'removed'), and NULL
+    vs NULL falls through to 'unchanged'. The DuckDB twin shares the
+    semantics, so parity holds either way; feed a presence flag
+    instead of NULL fingerprints if the source can be sparse."""
     o = old.select(F.col(url_col), F.col(fp_col).alias("old_fp"))
     n = new.select(F.col(url_col), F.col(fp_col).alias("new_fp"))
     j = o.join(n, url_col, "full_outer")

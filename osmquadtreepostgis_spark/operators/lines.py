@@ -60,7 +60,13 @@ def strip_boilerplate_lines(
     occurs in >= ``min_docs`` DISTINCT documents of the same scope.
     Every doc survives (a fully-boilerplate doc comes back with
     text = '' and n_kept = 0) so row count is invariant — the
-    downstream quality filter decides what to do with husks."""
+    downstream quality filter decides what to do with husks.
+
+    Precondition: NON-NULL text (ADVICE r5) — posexplode of
+    split(NULL) yields zero rows, so a NULL-text doc would vanish
+    rather than survive as a husk; ``fillna('', [text_col])`` first if
+    the source can contain NULL text (the DuckDB twin assumes the
+    same)."""
     lines = docs.select(
         F.col(id_col),
         F.col(scope_col).alias("__scope"),
