@@ -2137,6 +2137,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotated per round to keep every entry inside a recent sample
     # window (see COVERAGE.md; ADVICE r5 asked for this note back).
     return {
+        "sql_surface_cells": _shipped(q_sql_surface_cells),
+        "pip_points_in_boxes": _shipped(q_pip_points_in_boxes),
+        "pip_shuffle_cover": _shipped(q_pip_shuffle_cover),
+        "mine_entities": _shipped(q_mine_entities),
+        "flagship_tiles": _shipped(q_flagship_tiles),
+        "knn_exact": _shipped(q_knn_exact),
+        "knn_grid": _shipped(q_knn_grid),
+        "routing_extended": _shipped(q_routing_extended),
+        "tag_pivot_residual": _shipped(q_tag_pivot_residual),
+        "zorder_minzoom": _shipped(q_zorder_minzoom),
+        "style_spec_routing": _shipped(q_style_spec_routing),
+        "pyramid_counts": _shipped(q_pyramid_counts),
+        "raster_vectorize": _shipped(q_raster_vectorize),
+        "union_roads": _shipped(q_union_roads),
+        "pricing_summary": _shipped(q_pricing_summary),
+        "revenue_by_nation": _shipped(q_revenue_by_nation),
+        "top_orders_window": _shipped(q_top_orders_window),
+        "semi_anti_join": _shipped(q_semi_anti_join),
+        "events_sessionize": _shipped(q_events_sessionize),
+        "events_window_agg": _shipped(q_events_window_agg),
+        "stream_events_window": _shipped(q_stream_events_window),
+        "stream_stateful_sessionize": _shipped(q_stream_stateful_sessionize),
+        "stream_dedup_exact": _shipped(q_stream_dedup_exact),
+        "stream_curate": _shipped(q_stream_curate),
+        "dedup_ngram_jaccard": _shipped(q_dedup_ngram_jaccard),
+        "dedup_clusters": _shipped(q_dedup_clusters),
+        "dedup_incremental": _shipped(q_dedup_incremental),
+        "dedup_incremental_minhash": _shipped(q_dedup_incremental_minhash),
+        "repetition_signals": _shipped(q_repetition_signals),
+        "url_normalize": _shipped(q_url_normalize),
+        "domain_stats": _shipped(q_domain_stats),
+        "domain_cap": _shipped(q_domain_cap),
+        "curate_corpus": _shipped(q_curate_corpus),
+        "curate_corpus_minhash": _shipped(q_curate_corpus_minhash),
+        "corpus_stats": _shipped(q_corpus_stats),
+        "hash_embeddings": _shipped(q_hash_embeddings),
+        "text_near_dup": _shipped(q_text_near_dup),
+        "image_near_dup": _shipped(q_image_near_dup),
+        "dedup_minhash_lsh": _shipped(q_dedup_minhash_lsh),
+        "dedup_spans": _shipped(q_dedup_spans),
+        "dedup_simhash": _shipped(q_dedup_simhash),
+        "embed_cosine_pairs": _shipped(q_embed_cosine_pairs),
+        "embed_topk": _shipped(q_embed_topk),
+        "knn_label_eval": _shipped(q_knn_label_eval),
+        "embed_topk_ivf": _shipped(q_embed_topk_ivf),
+        "fuzzy_name_lookup": _shipped(q_fuzzy_name_lookup),
+        "tile_agg": _shipped(q_tile_agg),
+        "dedup_exact": _shipped(q_dedup_exact),
+        "html_extract": _shipped(q_html_extract),
         "semantic_dedup": _shipped(q_semantic_dedup),
         "crawl_diff": _shipped(q_crawl_diff),
         "raster_smooth": _shipped(q_raster_smooth),
@@ -2187,55 +2236,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_events_orders": _shipped(q_asof_events_orders),
         "salted_tile_agg": _shipped(q_salted_tile_agg),
         "cell_encode": _shipped(q_cell_encode),
-        "sql_surface_cells": _shipped(q_sql_surface_cells),
-        "pip_points_in_boxes": _shipped(q_pip_points_in_boxes),
-        "pip_shuffle_cover": _shipped(q_pip_shuffle_cover),
-        "mine_entities": _shipped(q_mine_entities),
-        "flagship_tiles": _shipped(q_flagship_tiles),
-        "knn_exact": _shipped(q_knn_exact),
-        "knn_grid": _shipped(q_knn_grid),
-        "routing_extended": _shipped(q_routing_extended),
-        "tag_pivot_residual": _shipped(q_tag_pivot_residual),
-        "zorder_minzoom": _shipped(q_zorder_minzoom),
-        "style_spec_routing": _shipped(q_style_spec_routing),
-        "pyramid_counts": _shipped(q_pyramid_counts),
-        "raster_vectorize": _shipped(q_raster_vectorize),
-        "union_roads": _shipped(q_union_roads),
-        "pricing_summary": _shipped(q_pricing_summary),
-        "revenue_by_nation": _shipped(q_revenue_by_nation),
-        "top_orders_window": _shipped(q_top_orders_window),
-        "semi_anti_join": _shipped(q_semi_anti_join),
-        "events_sessionize": _shipped(q_events_sessionize),
-        "events_window_agg": _shipped(q_events_window_agg),
-        "stream_events_window": _shipped(q_stream_events_window),
-        "stream_stateful_sessionize": _shipped(q_stream_stateful_sessionize),
-        "stream_dedup_exact": _shipped(q_stream_dedup_exact),
-        "stream_curate": _shipped(q_stream_curate),
-        "dedup_ngram_jaccard": _shipped(q_dedup_ngram_jaccard),
-        "dedup_clusters": _shipped(q_dedup_clusters),
-        "dedup_incremental": _shipped(q_dedup_incremental),
-        "dedup_incremental_minhash": _shipped(q_dedup_incremental_minhash),
-        "repetition_signals": _shipped(q_repetition_signals),
-        "url_normalize": _shipped(q_url_normalize),
-        "domain_stats": _shipped(q_domain_stats),
-        "domain_cap": _shipped(q_domain_cap),
-        "curate_corpus": _shipped(q_curate_corpus),
-        "curate_corpus_minhash": _shipped(q_curate_corpus_minhash),
-        "corpus_stats": _shipped(q_corpus_stats),
-        "hash_embeddings": _shipped(q_hash_embeddings),
-        "text_near_dup": _shipped(q_text_near_dup),
-        "image_near_dup": _shipped(q_image_near_dup),
-        "dedup_minhash_lsh": _shipped(q_dedup_minhash_lsh),
-        "dedup_spans": _shipped(q_dedup_spans),
-        "dedup_simhash": _shipped(q_dedup_simhash),
-        "embed_cosine_pairs": _shipped(q_embed_cosine_pairs),
-        "embed_topk": _shipped(q_embed_topk),
-        "knn_label_eval": _shipped(q_knn_label_eval),
-        "embed_topk_ivf": _shipped(q_embed_topk_ivf),
-        "fuzzy_name_lookup": _shipped(q_fuzzy_name_lookup),
-        "tile_agg": _shipped(q_tile_agg),
-        "dedup_exact": _shipped(q_dedup_exact),
-        "html_extract": _shipped(q_html_extract),
     }
 
 
