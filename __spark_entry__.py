@@ -84,11 +84,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # spark queries
 
 
-def _docs(spark, sf):
+def _docs(spark, sf, fanout: bool = True):
     # single-row-group scans serialize all fused per-row work onto one
     # task; fan out up to the session's parallelism (no-op at scale —
-    # see plans.pipeline.fanout_small_scan)
-    return fanout_small_scan(load_table(spark, sf, "documents"))
+    # see plans.pipeline.fanout_small_scan). Queries whose per-doc work
+    # is coordinate math or a single hash pass fanout=False: for them
+    # the added round-robin exchange costs a stage (~0.3 s) and buys
+    # nothing at any plausible scale factor.
+    df = load_table(spark, sf, "documents")
+    return fanout_small_scan(df) if fanout else df
 
 
 def _utc(spark):
@@ -99,7 +103,7 @@ def _utc(spark):
 
 
 def q_cell_encode(spark, sf):
-    d = doc_coords(_docs(spark, sf).select("doc_id"))
+    d = doc_coords(_docs(spark, sf, fanout=False).select("doc_id"))
     return d.withColumn("cell", cell_encode_udf(CELL_DEPTH)("lon", "lat")).withColumn(
         "tile", cell_parent_col("cell", TILE_DEPTH)
     )
@@ -113,7 +117,7 @@ def q_sql_surface_cells(spark, sf):
     from osmquadtreepostgis_spark.plans.sql_surface import register_sql_functions
 
     register_sql_functions(spark)
-    d = doc_coords(_docs(spark, sf).select("doc_id"))
+    d = doc_coords(_docs(spark, sf, fanout=False).select("doc_id"))
     d.createOrReplaceTempView("__sqlsurf_docs")
     # compute the encode ONCE in a subquery: each st_point_to_cell call
     # inlines a large expression tree (trig + magic-mask spread), and
@@ -253,7 +257,7 @@ def q_style_spec_routing(spark, sf):
 
 
 def q_zorder_minzoom(spark, sf):
-    el = EL.elements_df(_docs(spark, sf))
+    el = EL.elements_df(_docs(spark, sf, fanout=False))
     return el.select(
         "osm_id",
         RT.z_order_col(F.col("tags")).alias("z_order"),
@@ -275,7 +279,7 @@ def q_raster_vectorize(spark, sf):
         vectorize_cells,
     )
 
-    d = doc_coords(_docs(spark, sf).select("doc_id"))
+    d = doc_coords(_docs(spark, sf, fanout=False).select("doc_id"))
     # depth 4 (256 cells) keeps the thresholded result NON-VACUOUS at
     # every SF (hash-uniform coords: ~2 docs/cell at sf0.01 -> ~90
     # cells pass min_count=3; depth 6 yielded 0 rows = a vacuous check)
@@ -286,7 +290,7 @@ def q_raster_vectorize(spark, sf):
 
 
 def q_pyramid_counts(spark, sf):
-    d = doc_coords(_docs(spark, sf).select("doc_id"))
+    d = doc_coords(_docs(spark, sf, fanout=False).select("doc_id"))
     enc = d.withColumn("cell", cell_encode_udf(CELL_DEPTH)("lon", "lat"))
     out = None
     for depth in (6, 9, 11):
@@ -447,7 +451,7 @@ def q_stream_events_window(spark, sf):
 
 
 def q_dedup_exact(spark, sf):
-    return DD.dedup_exact(_docs(spark, sf))
+    return DD.dedup_exact(_docs(spark, sf, fanout=False))
 
 
 def q_stream_dedup_exact(spark, sf):
@@ -1298,7 +1302,7 @@ def q_way_assembly(spark, sf):
     from osmquadtreepostgis_spark.operators.assembly import assemble_ways
     from osmquadtreepostgis_spark.plans.elements import ways_df
 
-    docs = _docs(spark, sf)
+    docs = _docs(spark, sf, fanout=False)
     nodes = doc_coords(docs.select("doc_id")).select(
         F.col("doc_id").alias("node_id"), "lon", "lat"
     )
@@ -1311,7 +1315,7 @@ def q_parent_tags(spark, sf):
     from osmquadtreepostgis_spark.operators.assembly import propagate_parent_tags
     from osmquadtreepostgis_spark.plans.elements import ways_df
 
-    docs = _docs(spark, sf)
+    docs = _docs(spark, sf, fanout=False)
     nodes = doc_coords(docs.select("doc_id")).select(
         F.col("doc_id").alias("node_id"), "lon", "lat"
     )
@@ -1367,7 +1371,7 @@ def q_geom_measures(spark, sf):
         wkb_is_valid_udf,
     )
 
-    d = doc_coords(_docs(spark, sf).select("doc_id"))
+    d = doc_coords(_docs(spark, sf, fanout=False).select("doc_id"))
     d = d.withColumn("lat", F.least(F.col("lat"), F.lit(84.5)))
     way = bbox_to_wkb_udf(round_2dp=True)(
         F.col("lon"), F.col("lat"), F.col("lon") + 0.5, F.col("lat") + 0.25
@@ -1439,7 +1443,7 @@ def q_multipolygon_parts(spark, sf):
     expressible: rows-only driver check; pinned by pytest)."""
     from osmquadtreepostgis_spark.operators.assembly import assemble_multipolygons
 
-    d = doc_coords(_docs(spark, sf).select("doc_id")).filter(
+    d = doc_coords(_docs(spark, sf, fanout=False).select("doc_id")).filter(
         F.col("doc_id") % 7 == 0
     )
     d = d.withColumn("lat", F.least(F.col("lat"), F.lit(84.0)))
@@ -1485,7 +1489,7 @@ def q_multipolygon_chain(spark, sf):
     """
     from osmquadtreepostgis_spark.operators.assembly import assemble_multipolygons
 
-    d = doc_coords(_docs(spark, sf).select("doc_id")).filter(
+    d = doc_coords(_docs(spark, sf, fanout=False).select("doc_id")).filter(
         F.col("doc_id") % 11 == 3
     )
     d = d.withColumn("lat", F.least(F.col("lat"), F.lit(84.0)))
@@ -1596,7 +1600,7 @@ def q_geohash_encode(spark, sf):
     projection only — no shuffle, no UDF."""
     from osmquadtreepostgis_spark.functions.geohash import with_geohash
 
-    d = doc_coords(_docs(spark, sf).select("doc_id"))
+    d = doc_coords(_docs(spark, sf, fanout=False).select("doc_id"))
     g = with_geohash(d, "lon", "lat", 8)
     return g.select(
         "doc_id",
@@ -1696,7 +1700,7 @@ def q_tile_clip(spark, sf):
     the per-tile write repartition is the caller's only exchange."""
     from osmquadtreepostgis_spark.operators.clip import clip_segments_to_tiles
 
-    d = doc_coords(_docs(spark, sf).select("doc_id"))
+    d = doc_coords(_docs(spark, sf, fanout=False).select("doc_id"))
     segs = d.select(
         F.col("doc_id").alias("seg_id"),
         F.col("lon").alias("x1"),
@@ -1889,7 +1893,7 @@ def q_spatial_cluster(spark, sf):
     doc-coordinate fixture."""
     from osmquadtreepostgis_spark.operators.geocluster import spatial_cluster
 
-    d = doc_coords(_docs(spark, sf).select("doc_id"))
+    d = doc_coords(_docs(spark, sf, fanout=False).select("doc_id"))
     return spatial_cluster(d, eps=6.0).select(
         "doc_id", "cluster_id", "cluster_size"
     )
@@ -1995,7 +1999,7 @@ def q_hilbert_encode(spark, sf):
     key (quadrant digits are MSB-first), never a re-encode."""
     from osmquadtreepostgis_spark.functions.hilbert import with_hilbert
 
-    d = doc_coords(_docs(spark, sf).select("doc_id"))
+    d = doc_coords(_docs(spark, sf, fanout=False).select("doc_id"))
     return with_hilbert(d, "lon", "lat", order=16).select(
         "doc_id",
         "hilbert_d",
@@ -2094,7 +2098,7 @@ def q_crawl_diff(spark, sf):
     ≡0 (mod 5)."""
     from osmquadtreepostgis_spark.operators.crawl import crawl_diff
 
-    d = _docs(spark, sf)
+    d = _docs(spark, sf, fanout=False)
     url = F.concat(
         F.lit("https://s"),
         (F.col("doc_id") % 101).cast("string"),
@@ -2127,7 +2131,7 @@ def q_raster_smooth(spark, sf):
         smooth_raster,
     )
 
-    d = doc_coords(_docs(spark, sf).select("doc_id"))
+    d = doc_coords(_docs(spark, sf, fanout=False).select("doc_id"))
     return smooth_raster(rasterize_points(d, depth=4), depth=4, kernel=1)
 
 
