@@ -132,9 +132,18 @@ class CheckpointedWriter:
         lineage_rows = [
             (int(r["__bucket"]), int(r["rows"]), batch_id) for r in counts
         ]
+        # Arrow/pandas path: lands in one partition for batch-sized
+        # inputs without coalesce(1) — a coalesce over a 32-slice
+        # parallelize pays ~4 s of scheduler locality wait per write
+        # (same pathology fixed in urls.psl_frame, r6)
+        import pandas as pd
+
         spark.createDataFrame(
-            lineage_rows, "bucket long, rows long, batch_id long"
-        ).coalesce(1).write.mode("append").parquet(self.lineage_dir)
+            pd.DataFrame(
+                lineage_rows, columns=["bucket", "rows", "batch_id"]
+            ),
+            "bucket long, rows long, batch_id long",
+        ).write.mode("append").parquet(self.lineage_dir)
         b.unpersist()
         return {
             "written_buckets": len(counts),
