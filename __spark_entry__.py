@@ -1835,7 +1835,7 @@ def q_lm_surprisal(spark, sf):
     without the float-sum nondeterminism)."""
     from osmquadtreepostgis_spark.operators.tfidf import unigram_surprisal
 
-    return unigram_surprisal(_docs(spark, sf).select("doc_id", "text"))
+    return unigram_surprisal(_docs(spark, sf, fanout=False).select("doc_id", "text"))
 
 
 def q_anchor_extract(spark, sf):
@@ -1910,7 +1910,7 @@ def q_search_boolean(spark, sf):
     from osmquadtreepostgis_spark.operators.tfidf import search_conjunctive
 
     return search_conjunctive(
-        _docs(spark, sf), ["hash", "join", "vector"], k=25
+        _docs(spark, sf, fanout=False), ["hash", "join", "vector"], k=25
     )
 
 
@@ -1984,7 +1984,7 @@ def q_dedup_incremental_bloom(spark, sf):
         dedup_incremental_bloom,
     )
 
-    docs = _docs(spark, sf)
+    docs = _docs(spark, sf, fanout=False)
     seen = docs.filter(F.col("doc_id") % 3 == 0).select("text")
     return dedup_incremental_bloom(docs, seen)
 
