@@ -136,7 +136,7 @@ def q_sql_surface_cells(spark, sf):
 
 
 def q_tile_agg(spark, sf):
-    d = doc_coords(_docs(spark, sf).select("doc_id", "n_chars"))
+    d = doc_coords(_docs(spark, sf, fanout=False).select("doc_id", "n_chars"))
     enc = d.withColumn("cell", cell_encode_udf(CELL_DEPTH)("lon", "lat")).withColumn(
         "tile", cell_parent_col("cell", TILE_DEPTH)
     )
@@ -1242,7 +1242,7 @@ def q_multimodal_meta(spark, sf):
     import pandas as pd
     from pyspark.sql import types as T
 
-    d = _docs(spark, sf).select("doc_id", "text", "n_chars")
+    d = _docs(spark, sf, fanout=False).select("doc_id", "text", "n_chars")
 
     def decode(batches):
         for pdf in batches:
@@ -1275,7 +1275,7 @@ def q_multimodal_frames(spark, sf):
     oracle byte-exact via substr."""
     from osmquadtreepostgis_spark.functions.multimodal import sample_frames
 
-    d = _docs(spark, sf).select(
+    d = _docs(spark, sf, fanout=False).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     frames = sample_frames(d, frame_bytes=64, every=4)
@@ -1424,7 +1424,7 @@ def q_salted_tile_agg(spark, sf):
     plain tile aggregate (shares its oracle arithmetic)."""
     from osmquadtreepostgis_spark.operators.skew import salted_agg
 
-    d = doc_coords(_docs(spark, sf).select("doc_id", "n_chars"))
+    d = doc_coords(_docs(spark, sf, fanout=False).select("doc_id", "n_chars"))
     enc = d.withColumn("cell", cell_encode_udf(CELL_DEPTH)("lon", "lat")).withColumn(
         "tile", cell_parent_col("cell", TILE_DEPTH)
     )
@@ -1732,7 +1732,7 @@ def q_linkrank(spark, sf):
     page with dangling targets dropped by the membership semi-join."""
     from osmquadtreepostgis_spark.operators.linkrank import linkrank
 
-    d = _docs(spark, sf).select("doc_id")
+    d = _docs(spark, sf, fanout=False).select("doc_id")
     links = (
         d.select(
             F.col("doc_id").alias("src"),
@@ -1796,7 +1796,7 @@ def q_recrawl_latest(spark, sf):
     hash groupBy with map-side-combinable arg-max state — no window,
     no sort; ties impossible because the synthesized ts is injective
     in doc_id). The upsert-side twin of q_dedup_url's keep-first."""
-    d = _docs(spark, sf).select("doc_id")
+    d = _docs(spark, sf, fanout=False).select("doc_id")
     url = F.concat(
         F.lit("https://s"),
         (F.col("doc_id") % 101).cast("string"),
@@ -1869,7 +1869,7 @@ def q_anchor_linkrank(spark, sf):
     from osmquadtreepostgis_spark.functions.html import extract_links
     from osmquadtreepostgis_spark.operators.linkrank import linkrank
 
-    d = _docs(spark, sf).select("doc_id", "text")
+    d = _docs(spark, sf, fanout=False).select("doc_id", "text")
     links = (
         d.select("doc_id", F.explode(extract_links(_anchored_html_col())))
         .select(
@@ -2017,7 +2017,7 @@ def q_line_dedup(spark, sf):
     kept-prose paths are exercised."""
     from osmquadtreepostgis_spark.operators.lines import strip_boilerplate_lines
 
-    d = _docs(spark, sf).select(
+    d = _docs(spark, sf, fanout=False).select(
         "doc_id",
         "source",
         F.concat(
