@@ -197,7 +197,7 @@ def q_knn_grid(spark, sf):
 
 
 def q_routing_extended(spark, sf):
-    el = EL.elements_df(_docs(spark, sf))
+    el = EL.elements_df(_docs(spark, sf, fanout=False))
     z = RT.z_order_col(F.col("tags"))
     routed = RT.explode_routes(
         el.withColumn("z_order", z).withColumn(
@@ -1672,7 +1672,7 @@ def q_url_blocklist(spark, sf):
     back with blocked_domain / blocked_path / kept flags."""
     from osmquadtreepostgis_spark.operators.blocklist import audit_blocklist
 
-    d = _docs(spark, sf).select("doc_id").withColumn("url", _blocklist_url())
+    d = _docs(spark, sf, fanout=False).select("doc_id").withColumn("url", _blocklist_url())
     rules = (
         spark.range(37)
         .filter(F.col("id") % 4 == 0)
@@ -1954,7 +1954,7 @@ def q_robots_gate(spark, sf):
     aggregate — no window, no sort. No-rule pages are allowed."""
     from osmquadtreepostgis_spark.operators.robots import robots_gate
 
-    pages = _docs(spark, sf).select("doc_id").withColumn("url", _robots_url())
+    pages = _docs(spark, sf, fanout=False).select("doc_id").withColumn("url", _robots_url())
     base = spark.range(37)
     dom = F.concat(F.lit("example"), F.col("id").cast("string"), F.lit(".org"))
     mk = lambda pred, allow, pref: base.filter(pred).select(  # noqa: E731
@@ -2040,7 +2040,7 @@ def q_lang_rebalance(spark, sf):
     from osmquadtreepostgis_spark.operators.corpus import rebalance_languages
 
     return rebalance_languages(
-        _docs(spark, sf), alpha=0.5, target_rate=0.5
+        _docs(spark, sf, fanout=False), alpha=0.5, target_rate=0.5
     )
 
 
